@@ -1,0 +1,197 @@
+"""Configuration system: calibration-file parsing + runtime parameter packs.
+
+Replaces ``CParameterBase`` (CParameterBase.h:15): the reference parses
+whitespace-token calibration text files (``hardware_parameters/*.txt``) with
+typed getters (double/int/matrix/quaternion, CParameterBase.h:69-166) and
+builds camera singletons from them (:169-392). Here the same files parse into
+plain dataclasses, and cameras are constructed as JAX pytrees — the reference
+calibration files load unchanged.
+
+The reference scatters its tuning constants across class headers as
+compile-time members (SURVEY.md §5 config); here they are collected in one
+frozen ``TrackingParams`` dataclass so runs are reproducible and sweepable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from svi_mapper_tpu.geometry.camera import PinholeCamera, StereoCamera, pinhole_from_projection
+
+
+# ---------------------------------------------------------------------------
+# calibration file parsing (ref CParameterBase.h:21-166)
+# ---------------------------------------------------------------------------
+
+def _tokenize(text: str) -> list[str]:
+    return text.split()
+
+
+def _get_scalar(tokens: list[str], key: str, default=None) -> float | None:
+    try:
+        i = tokens.index(key)
+    except ValueError:
+        return default
+    return float(tokens[i + 1])
+
+
+def _get_vector(tokens: list[str], key: str, n: int, default=None) -> np.ndarray | None:
+    try:
+        i = tokens.index(key)
+    except ValueError:
+        return default
+    return np.array([float(t) for t in tokens[i + 1 : i + 1 + n]], dtype=np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraCalibration:
+    """One parsed ``hardware_parameters`` camera file
+    (format: kitti_00_camera_left.txt / vi_sensor_camera_left.txt)."""
+
+    width: int
+    height: int
+    K: np.ndarray                 # (3,3) raw intrinsics (matIntrinsic)
+    dist: np.ndarray              # (4,)  distortion (vecDistortionCoefficients)
+    R_rect: np.ndarray            # (3,3) rectification (matRectification)
+    P: np.ndarray                 # (3,4) rectified projection (matProjection)
+    focal_length_m: float = 0.0
+    # IMU extrinsics (vi_sensor files only; ref CPinholeCameraIMU.h:17-60)
+    q_cam_to_imu: np.ndarray | None = None   # (4,) xyzw
+    t_cam_to_imu: np.ndarray | None = None   # (3,)
+    R_intrinsic_cam_to_imu: np.ndarray | None = None  # (3,3)
+
+    @property
+    def has_imu(self) -> bool:
+        return self.q_cam_to_imu is not None
+
+
+def load_camera_calibration(path: str | Path) -> CameraCalibration:
+    """Parse one calibration text file (ref CParameterBase.h:169-392)."""
+    tokens = _tokenize(Path(path).read_text())
+    width = int(_get_scalar(tokens, "uWidthPixels"))
+    height = int(_get_scalar(tokens, "uHeightPixels"))
+    K = _get_vector(tokens, "matIntrinsic", 9).reshape(3, 3)
+    dist = _get_vector(tokens, "vecDistortionCoefficients", 4)
+    R_rect = _get_vector(tokens, "matRectification", 9).reshape(3, 3)
+    P = _get_vector(tokens, "matProjection", 12).reshape(3, 4)
+    q = _get_vector(tokens, "vecQuaternionToIMU", 4)
+    t = _get_vector(tokens, "vecTranslationToIMU", 3)
+    R_i = _get_vector(tokens, "matRotationIntrinsicCAMERAtoIMU", 9)
+    # KITTI files leave K/R_rect zeroed and carry everything in P
+    if not np.any(K):
+        K = P[:, :3].copy()
+    if not np.any(R_rect):
+        R_rect = np.eye(3)
+    return CameraCalibration(
+        width=width,
+        height=height,
+        K=K,
+        dist=dist,
+        R_rect=R_rect,
+        P=P,
+        focal_length_m=_get_scalar(tokens, "dFocalLengthMeters", 0.0),
+        q_cam_to_imu=q,
+        t_cam_to_imu=t,
+        R_intrinsic_cam_to_imu=None if R_i is None else R_i.reshape(3, 3),
+    )
+
+
+def camera_from_calibration(calib: CameraCalibration, dtype=np.float32) -> PinholeCamera:
+    return pinhole_from_projection(
+        calib.P, calib.width, calib.height, K=calib.K, dist=calib.dist,
+        R_rect=calib.R_rect, dtype=dtype,
+    )
+
+
+def load_stereo_camera(
+    left_path: str | Path, right_path: str | Path, dtype=np.float32
+) -> StereoCamera:
+    """Build a rectified stereo camera from two calibration files
+    (ref CParameterBase constructCameraSTEREO, tracker_gt.cpp:121-123;
+    the baseline lives in P_right[0,3] = -fx*b, e.g. -386.1448 for KITTI 00
+    -> b = 0.537 m)."""
+    left = camera_from_calibration(load_camera_calibration(left_path), dtype)
+    right = camera_from_calibration(load_camera_calibration(right_path), dtype)
+    return StereoCamera(left=left, right=right)
+
+
+# ---------------------------------------------------------------------------
+# tracking parameter pack (ref constants scattered in class headers, SURVEY §5)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrackingParams:
+    """All front-end/solver thresholds, with reference provenance."""
+
+    # --- capacities (static shapes; TPU fixed-capacity tables) ---
+    max_landmarks: int = 1024          # active landmark table rows
+    max_detections: int = 1024         # GFTT cap (ref CFundamentalMatcher.cpp:18)
+    max_measurements: int = 16         # per-landmark measurement ring buffer
+    descriptor_bits: int = 256         # ref Types.h:6 DESCRIPTOR_SIZE_BITS
+
+    # --- detection (ref GFTT 1000 pts / quality 0.01 / min-dist 7) ---
+    detect_quality: float = 0.01
+    detect_min_distance: int = 7
+    detect_cell: int = 16              # grid-NMS cell for masked top-k
+
+    # --- descriptor matching Hamming cutoffs (ref CFundamentalMatcher.cpp:23-26) ---
+    matching_distance_tracking: int = 25
+    matching_distance_tracking_stage2: int = 50
+    matching_distance_epipolar: int = 50
+    matching_distance_triangulation: int = 100   # ref CTriangulator.cpp:13
+
+    # --- stereo / triangulation (ref CTriangulator.h:20-21, .cpp:326-356) ---
+    min_search_range_px: float = 60.0
+    min_disparity_px: float = 0.01
+    min_depth_m: float = 0.05
+    max_depth_m: float = 1000.0
+
+    # --- temporal tracking (ref CFundamentalMatcher.h:83, .cpp:203-242) ---
+    max_failed_trackings: int = 5
+    keyframe_presences_for_graph: int = 2
+    stale_landmark_age_frames: int = 100
+    epipolar_base_window_px: float = 10.0
+
+    # --- pose solver gates (ref CSolverStereoPosit.h:89-98) ---
+    posit_min_points: int = 25
+    posit_min_inliers: int = 15
+    posit_kernel_px2: float = 10.0
+    posit_max_error_px2: float = 9.0
+    posit_max_risk_m2: float = 2.0
+    posit_max_iterations: int = 100
+    posit_convergence: float = 1e-5
+
+    # --- landmark refinement gates (ref CLandmark.h:90-98) ---
+    landmark_min_measurements: int = 5
+    landmark_kernel_px2: float = 10.0
+    landmark_max_error_px2: float = 9.0
+    landmark_min_inlier_ratio: float = 0.5
+    landmark_max_iterations: int = 100
+    landmark_convergence: float = 1e-5
+
+    # --- keyframing (ref CTrackerGT.h:47-49,68,70) ---
+    keyframe_translation_m2: float = 25.0
+    keyframe_rotation_rad2: float = 0.025
+    keyframe_min_landmarks: int = 50
+    optimize_every_keyframes: int = 20
+
+    # --- loop closure (ref CTrackerGT.cpp:422,479,506-631; Cg2oOptimizer.h:125) ---
+    closure_min_matches: int = 25
+    closure_min_relative_matches: float = 0.5
+    closure_icp_inlier_m: float = 1.0
+    closure_icp_min_inliers: int = 25
+    closure_icp_max_error: float = 0.9
+    closure_icp_max_iterations: int = 100
+    closure_consensus_chi2: float = 0.25
+    closure_hamming_cutoff: int = 25    # ref CKeyFrame.h:12 MAXIMUM_DISTANCE_HAMMING
+
+    # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
+    motion_scaling_cap: float = 5.0
+
+
+DEFAULT_PARAMS = TrackingParams()
+
+HARDWARE_PARAMETERS_DIR = Path(__file__).resolve().parent.parent / "hardware_parameters"
