@@ -1,0 +1,223 @@
+"""Fixed-capacity landmark table: the TPU-native map data model.
+
+Replaces the reference's heap-allocated ``CLandmark`` objects
+(CLandmark.h:46-55: reference L/R descriptors, measurement history,
+lifecycle counters) and the WINDOW/GRAPH landmark vectors of
+``CFundamentalMatcher`` (CFundamentalMatcher.h:74-79) with one struct-of-
+arrays table of static shape ``[L, ...]`` plus validity masks — the design
+stance of SURVEY.md §7: landmark birth/death becomes masked scatter into a
+free list, and every per-landmark loop in the reference becomes a batched
+op over the whole table.
+
+Measurements (ref ``CMeasurementLandmark``, Types.h:12-54: stereo UVs plus
+the world-to-camera transform at observation time) live in a per-landmark
+ring buffer ``[L, M, ...]`` so the per-landmark Gauss-Newton refinement
+(CLandmark.cpp:447-581) can re-project every stored observation in one vmap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from svi_mapper_tpu.ops.descriptors import DESCRIPTOR_WORDS
+
+
+@struct.dataclass
+class LandmarkTable:
+    """Struct-of-arrays map over ``L`` landmark slots, ``M`` measurements each."""
+
+    # --- identity / lifecycle (ref CLandmark.h:46-55) ---
+    active: jax.Array          # [L] bool — slot in use
+    uid: jax.Array             # [L] int32 — global landmark id (ref uID)
+    age: jax.Array             # [L] int32 — frames since creation
+    failed: jax.Array          # [L] int32 — consecutive failed trackings
+                               #   (drop at 5, ref CFundamentalMatcher.h:83)
+    keyframe_presences: jax.Array  # [L] int32 (promote to GRAPH at 2,
+                               #   ref CFundamentalMatcher.cpp:203-242)
+    opt_success: jax.Array     # [L] int32 (ref uOptimizationsSuccessful)
+    opt_failed: jax.Array      # [L] int32 (ref uOptimizationsFailed)
+    is_optimal: jax.Array      # [L] bool  (ref bIsOptimal)
+
+    # --- geometry ---
+    pos_w: jax.Array           # [L, 3] world position estimate
+    uv_left_last: jax.Array    # [L, 2] last tracked left pixel
+    disparity_last: jax.Array  # [L] last disparity (bounds stereo search,
+                               #   ref CTriangulator.h:20-21)
+
+    # --- descriptors (ref reference + most-recent descriptor,
+    #     matched with dual cutoff in _getMatch CFundamentalMatcher.cpp:2336) ---
+    desc_left_ref: jax.Array   # [L, 8] uint32 — descriptor at creation
+    desc_right_ref: jax.Array  # [L, 8] uint32
+    desc_left_last: jax.Array  # [L, 8] uint32 — most recent left descriptor
+
+    # --- measurement ring buffer (ref CMeasurementLandmark, Types.h:12-54) ---
+    meas_uv: jax.Array         # [L, M, 4] (uL, vL, uR, vR)
+    meas_T_wc: jax.Array       # [L, M, 4, 4] world->LEFT-camera at observation
+    meas_count: jax.Array      # [L] int32 — total measurements ever (ring wraps)
+    meas_next: jax.Array       # [L] int32 — next ring slot
+
+    @property
+    def capacity(self) -> int:
+        return self.active.shape[0]
+
+    @property
+    def max_measurements(self) -> int:
+        return self.meas_uv.shape[1]
+
+    @property
+    def num_active(self) -> jax.Array:
+        return jnp.sum(self.active)
+
+
+def make_table(capacity: int, max_measurements: int, dtype=jnp.float32) -> LandmarkTable:
+    """Allocate an empty landmark table."""
+    L, M = capacity, max_measurements
+    u32 = jnp.uint32
+    return LandmarkTable(
+        active=jnp.zeros((L,), jnp.bool_),
+        uid=jnp.full((L,), -1, jnp.int32),
+        age=jnp.zeros((L,), jnp.int32),
+        failed=jnp.zeros((L,), jnp.int32),
+        keyframe_presences=jnp.zeros((L,), jnp.int32),
+        opt_success=jnp.zeros((L,), jnp.int32),
+        opt_failed=jnp.zeros((L,), jnp.int32),
+        is_optimal=jnp.zeros((L,), jnp.bool_),
+        pos_w=jnp.zeros((L, 3), dtype),
+        uv_left_last=jnp.zeros((L, 2), dtype),
+        disparity_last=jnp.zeros((L,), dtype),
+        desc_left_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
+        desc_right_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
+        desc_left_last=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
+        meas_uv=jnp.zeros((L, M, 4), dtype),
+        meas_T_wc=jnp.zeros((L, M, 4, 4), dtype),
+        meas_count=jnp.zeros((L,), jnp.int32),
+        meas_next=jnp.zeros((L,), jnp.int32),
+    )
+
+
+def insert_landmarks(
+    table: LandmarkTable,
+    new_valid: jax.Array,      # [N] bool — which candidates to insert
+    pos_w: jax.Array,          # [N, 3]
+    uv_left: jax.Array,        # [N, 2]
+    disparity: jax.Array,      # [N]
+    desc_left: jax.Array,      # [N, 8] uint32
+    desc_right: jax.Array,     # [N, 8] uint32
+    uv4: jax.Array,            # [N, 4] first stereo measurement
+    T_wc: jax.Array,           # [4, 4] current world->camera
+    next_uid: jax.Array,       # scalar int32
+) -> tuple[LandmarkTable, jax.Array]:
+    """Scatter new landmarks into free slots (the batched ``new CLandmark``,
+    ref CFundamentalMatcher::addNewLandmarks CFundamentalMatcher.cpp:83-193).
+
+    Candidates beyond the free capacity are dropped (highest-score-first
+    ordering is the caller's job — detections arrive score-sorted).
+    Returns the updated table and the new ``next_uid``.
+    """
+    L = table.capacity
+    free = ~table.active                                   # [L]
+    # rank free slots: k-th inserted candidate -> k-th free slot
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1     # [L] rank among free
+    cand_rank = jnp.cumsum(new_valid.astype(jnp.int32)) - 1  # [N]
+    n_free = jnp.sum(free.astype(jnp.int32))
+    take = new_valid & (cand_rank < n_free)                # [N] actually inserted
+
+    # slot index for each taken candidate: invert free_rank
+    # build mapping rank -> slot via scatter
+    slot_of_rank = jnp.zeros((L,), jnp.int32).at[
+        jnp.where(free, free_rank, L - 1)
+    ].set(jnp.arange(L, dtype=jnp.int32), mode="drop")
+    # (invalid writes collide on L-1 but are never read beyond n_free-1
+    #  because take caps cand_rank < n_free)
+    slots = slot_of_rank[jnp.clip(cand_rank, 0, L - 1)]    # [N]
+    safe_slots = jnp.where(take, slots, L)                 # out-of-range -> drop
+
+    def scat(arr, val):
+        return arr.at[safe_slots].set(val, mode="drop")
+
+    M = table.max_measurements
+    meas_uv = table.meas_uv.at[safe_slots, 0].set(uv4, mode="drop")
+    meas_T = table.meas_T_wc.at[safe_slots, 0].set(
+        jnp.broadcast_to(T_wc, (uv4.shape[0], 4, 4)), mode="drop"
+    )
+    n = new_valid.shape[0]
+    uids = next_uid + cand_rank
+    table = table.replace(
+        active=scat(table.active, jnp.ones((n,), jnp.bool_)),
+        uid=scat(table.uid, uids.astype(jnp.int32)),
+        age=scat(table.age, jnp.zeros((n,), jnp.int32)),
+        failed=scat(table.failed, jnp.zeros((n,), jnp.int32)),
+        keyframe_presences=scat(table.keyframe_presences, jnp.zeros((n,), jnp.int32)),
+        opt_success=scat(table.opt_success, jnp.zeros((n,), jnp.int32)),
+        opt_failed=scat(table.opt_failed, jnp.zeros((n,), jnp.int32)),
+        is_optimal=scat(table.is_optimal, jnp.zeros((n,), jnp.bool_)),
+        pos_w=scat(table.pos_w, pos_w),
+        uv_left_last=scat(table.uv_left_last, uv_left),
+        disparity_last=scat(table.disparity_last, disparity),
+        desc_left_ref=scat(table.desc_left_ref, desc_left),
+        desc_right_ref=scat(table.desc_right_ref, desc_right),
+        desc_left_last=scat(table.desc_left_last, desc_left),
+        meas_uv=meas_uv,
+        meas_T_wc=meas_T,
+        meas_count=scat(table.meas_count, jnp.ones((n,), jnp.int32)),
+        meas_next=scat(table.meas_next, jnp.full((n,), 1 % M, jnp.int32)),
+    )
+    n_inserted = jnp.sum(take.astype(jnp.int32))
+    return table, next_uid + n_inserted
+
+
+def add_measurements(
+    table: LandmarkTable,
+    tracked: jax.Array,        # [L] bool — landmarks tracked this frame
+    uv4: jax.Array,            # [L, 4] stereo measurement
+    desc_left: jax.Array,      # [L, 8] uint32 — newly observed descriptor
+    T_wc: jax.Array,           # [4, 4]
+) -> LandmarkTable:
+    """Append a stereo measurement per tracked landmark (batched
+    ``CLandmark::addMeasurement``, CLandmark.cpp:80): ring-buffer write,
+    update last-seen descriptor/pixel/disparity, reset/bump failure counters
+    (ref failure handling CFundamentalMatcher.cpp:1014-1025)."""
+    L = table.capacity
+    M = table.max_measurements
+    rows = jnp.arange(L)
+    slot = table.meas_next
+    meas_uv = table.meas_uv.at[rows, slot].set(
+        jnp.where(tracked[:, None], uv4, table.meas_uv[rows, slot])
+    )
+    meas_T = table.meas_T_wc.at[rows, slot].set(
+        jnp.where(tracked[:, None, None], jnp.broadcast_to(T_wc, (L, 4, 4)),
+                  table.meas_T_wc[rows, slot])
+    )
+    disparity = uv4[:, 0] - uv4[:, 2]
+    return table.replace(
+        meas_uv=meas_uv,
+        meas_T_wc=meas_T,
+        meas_count=jnp.where(tracked, table.meas_count + 1, table.meas_count),
+        meas_next=jnp.where(tracked, (slot + 1) % M, slot),
+        uv_left_last=jnp.where(tracked[:, None], uv4[:, :2], table.uv_left_last),
+        disparity_last=jnp.where(tracked, disparity, table.disparity_last),
+        desc_left_last=jnp.where(tracked[:, None], desc_left, table.desc_left_last),
+        failed=jnp.where(tracked, 0, jnp.where(table.active, table.failed + 1, 0)),
+        age=jnp.where(table.active, table.age + 1, table.age),
+    )
+
+
+def retire_landmarks(table: LandmarkTable, params) -> LandmarkTable:
+    """Deactivate dead rows — the batched landmark eviction
+    (ref: drop after 5 failed trackings CFundamentalMatcher.h:83; free
+    landmarks not seen for 100 frames CFundamentalMatcher.cpp:203-242)."""
+    dead = table.active & (
+        (table.failed > params.max_failed_trackings)
+        | ((table.age > params.stale_landmark_age_frames)
+           & (table.keyframe_presences == 0))
+    )
+    return table.replace(active=table.active & ~dead)
+
+
+def measurement_mask(table: LandmarkTable) -> jax.Array:
+    """[L, M] bool — which ring slots hold real measurements."""
+    M = table.max_measurements
+    counts = jnp.minimum(table.meas_count, M)
+    return jnp.arange(M)[None, :] < counts[:, None]
