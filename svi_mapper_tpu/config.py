@@ -161,7 +161,10 @@ class TrackingParams:
     posit_kernel_px2: float = 10.0
     posit_max_error_px2: float = 9.0
     posit_max_risk_m2: float = 2.0
-    posit_max_iterations: int = 100
+    # GN converges in <10 iterations; the reference's 1000-iteration cap
+    # (CSolverStereoPosit.h) is a safety net. On TPU the while_loop trip
+    # count is paid by the whole vmapped batch, so keep the cap tight.
+    posit_max_iterations: int = 25
     posit_convergence: float = 1e-5
 
     # --- landmark refinement gates (ref CLandmark.h:90-98) ---
@@ -169,7 +172,7 @@ class TrackingParams:
     landmark_kernel_px2: float = 10.0
     landmark_max_error_px2: float = 9.0
     landmark_min_inlier_ratio: float = 0.5
-    landmark_max_iterations: int = 100
+    landmark_max_iterations: int = 15
     landmark_convergence: float = 1e-5
 
     # --- keyframing (ref CTrackerGT.h:47-49,68,70) ---

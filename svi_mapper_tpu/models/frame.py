@@ -1,0 +1,249 @@
+"""The per-frame SLAM step: one jitted, fully on-device computation.
+
+This is the TPU-native equivalent of the reference's per-frame call tree
+(SURVEY.md §3.1/§3.2: ``CTracker*::process`` -> ``_trackLandmarks`` ->
+track / posit / measurement insertion / landmark optimization / keyframe
+check / re-detection). The reference interleaves host loops and exceptions;
+here the whole frame is ONE compiled XLA program over fixed-shape state:
+
+  images -> smooth -> dense BRIEF fields -> lattice tracking -> stereo posit
+  -> measurement append -> (cond) landmark GN refinement -> retirement ->
+  masked detection + stereo triangulation -> landmark insertion ->
+  keyframe decision.
+
+Host code only feeds images and reads the per-frame outputs (pose, flags).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from svi_mapper_tpu.config import TrackingParams
+from svi_mapper_tpu.frontend.stereo import match_stereo
+from svi_mapper_tpu.frontend.tracking import track_landmarks
+from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry.camera import StereoCamera
+from svi_mapper_tpu.mapping import landmarks as lm
+from svi_mapper_tpu.ops.corners import detect_corners, occupancy_mask
+from svi_mapper_tpu.ops.descriptors import brief_at, brief_dense
+from svi_mapper_tpu.ops.image import box_blur
+from svi_mapper_tpu.solvers.landmark_opt import optimize_landmarks
+from svi_mapper_tpu.solvers.posit import solve_stereo_posit
+
+
+@struct.dataclass
+class FrameState:
+    """Pure-functional tracking state threaded through the frame scan
+    (replaces the mutable members of CTrackerSV/CFundamentalMatcher)."""
+
+    T_wc: jax.Array           # [4,4] current world->LEFT-camera estimate
+    T_wc_prev: jax.Array      # [4,4] previous frame (constant-velocity prior)
+    T_last_keyframe: jax.Array  # [4,4] pose at the last keyframe spawn
+    table: lm.LandmarkTable
+    next_uid: jax.Array       # int32
+    frame_idx: jax.Array      # int32
+    instability: jax.Array    # int32 (ref CTrackerSV.cpp:286-317: +5 on pose
+                              # failure, capped 20, -1 per good frame)
+
+
+@struct.dataclass
+class FrameOutput:
+    T_wc: jax.Array
+    posit_ok: jax.Array       # bool — pose solve accepted (False in GT mode)
+    n_tracked: jax.Array      # int32
+    n_active: jax.Array       # int32
+    n_optimal: jax.Array      # int32 visible optimal landmarks
+    n_new: jax.Array          # int32 landmarks inserted
+    is_keyframe: jax.Array    # bool
+    avg_error_px2: jax.Array  # posit average inlier error
+    inliers: jax.Array        # posit inlier count
+
+
+def init_state(params: TrackingParams, T0: jax.Array | None = None) -> FrameState:
+    eye = jnp.eye(4, dtype=jnp.float32) if T0 is None else jnp.asarray(T0, jnp.float32)
+    return FrameState(
+        T_wc=eye,
+        T_wc_prev=eye,
+        T_last_keyframe=eye,
+        table=lm.make_table(params.max_landmarks, params.max_measurements),
+        next_uid=jnp.int32(0),
+        frame_idx=jnp.int32(0),
+        instability=jnp.int32(0),
+    )
+
+
+def _constant_velocity_prior(state: FrameState) -> jax.Array:
+    """T_pred = (T_cur inv(T_prev)) T_cur (ref CTrackerSV constant-velocity
+    prior, CTrackerSV.cpp:134-239)."""
+    prec = jax.lax.Precision.HIGHEST
+    delta = jnp.matmul(state.T_wc, se3.inv_T(state.T_wc_prev), precision=prec)
+    return jnp.matmul(delta, state.T_wc, precision=prec)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "use_gt_pose")
+)
+def process_frame(
+    state: FrameState,
+    img_left: jax.Array,        # [H, W] float32
+    img_right: jax.Array,
+    cam: StereoCamera,
+    params: TrackingParams,
+    T_gt: jax.Array | None = None,   # [4,4] (GT mode prior / pose)
+    *,
+    use_gt_pose: bool = False,
+    do_landmark_opt: jax.Array | bool = True,
+) -> tuple[FrameState, FrameOutput]:
+    """Process one stereo frame. Compiled once per image shape."""
+    # --- image preprocessing + dense descriptor fields -------------------
+    smooth_l = box_blur(img_left, 5)
+    smooth_r = box_blur(img_right, 5)
+    dense_l = brief_dense(smooth_l)
+    dense_r = brief_dense(smooth_r)
+
+    # --- pose prior ------------------------------------------------------
+    if use_gt_pose:
+        assert T_gt is not None
+        T_prior = T_gt
+    else:
+        T_prior = _constant_velocity_prior(state)
+
+    # --- temporal tracking (3-stage lattice) -----------------------------
+    track = track_landmarks(
+        dense_l, dense_r, state.table, T_prior, cam,
+        cutoff_s1=params.matching_distance_tracking,
+        cutoff_s2=params.matching_distance_tracking_stage2,
+        cutoff_ref=params.matching_distance_epipolar,
+    )
+    n_tracked = jnp.sum(track.tracked.astype(jnp.int32))
+
+    # --- frame pose ------------------------------------------------------
+    if use_gt_pose:
+        T_new = T_gt
+        posit_ok = jnp.asarray(False)
+        avg_err = jnp.asarray(0.0, jnp.float32)
+        inliers = jnp.int32(0)
+        instability = state.instability
+    else:
+        res = solve_stereo_posit(
+            T_prior, state.table.pos_w, track.uv4, track.tracked, cam,
+            T_prior=T_prior,
+            kernel_px2=params.posit_kernel_px2,
+            min_points=params.posit_min_points,
+            min_inliers=params.posit_min_inliers,
+            max_error_px2=params.posit_max_error_px2,
+            max_risk_m2=params.posit_max_risk_m2,
+            max_iterations=params.posit_max_iterations,
+            convergence=params.posit_convergence,
+        )
+        posit_ok = res.ok
+        avg_err = res.avg_error_px2
+        inliers = res.inliers
+        # failure -> keep the prior and raise the instability counter
+        # (ref CTrackerSV.cpp:286-317)
+        T_new = jnp.where(posit_ok, res.T_wc, T_prior)
+        instability = jnp.clip(
+            jnp.where(posit_ok, state.instability - 1, state.instability + 5),
+            0, 20,
+        )
+
+    # --- measurements ----------------------------------------------------
+    table = lm.add_measurements(
+        state.table, track.tracked, track.uv4, track.desc_left, T_new
+    )
+
+    # --- landmark refinement (cond: GT every frame, SV every 10 frames —
+    #     ref CTrackerGT.cpp:196-198 / CTrackerSV.h:79) ------------------
+    do_opt = jnp.asarray(do_landmark_opt)
+
+    def _opt(t):
+        return optimize_landmarks(
+            t, cam,
+            min_measurements=params.landmark_min_measurements,
+            kernel_px2=params.landmark_kernel_px2,
+            max_error_px2=params.landmark_max_error_px2,
+            min_inlier_ratio=params.landmark_min_inlier_ratio,
+            max_iterations=params.landmark_max_iterations,
+            convergence=params.landmark_convergence,
+        )
+
+    table = jax.lax.cond(do_opt, _opt, lambda t: t, table)
+
+    # --- retirement ------------------------------------------------------
+    table = lm.retire_landmarks(table, params)
+
+    # --- detection of new landmarks --------------------------------------
+    allowed = occupancy_mask(
+        img_left.shape, table.uv_left_last, table.active & track.tracked,
+        radius=params.detect_min_distance,
+    )
+    uv_new, score_new, valid_new = detect_corners(
+        img_left,
+        k=params.max_detections,
+        cell=params.detect_cell,
+        quality=params.detect_quality,
+        border=28,
+        mask=allowed,
+    )
+    desc_new = brief_at(dense_l, uv_new)
+    sm = match_stereo(
+        dense_r, uv_new, desc_new, valid_new, cam,
+        cutoff=params.matching_distance_triangulation,
+        min_depth=params.min_depth_m,
+        max_depth=params.max_depth_m,
+    )
+    desc_new_r = brief_at(dense_r, sm.uv_right)
+    T_cw = se3.inv_T(T_new)
+    pos_w_new = se3.transform(T_cw, sm.p_cam)
+    uv4_new = jnp.concatenate([uv_new, sm.uv_right], axis=-1)
+    table, next_uid = lm.insert_landmarks(
+        table, sm.ok, pos_w_new, uv_new, sm.disparity,
+        desc_new, desc_new_r, uv4_new, T_new, state.next_uid,
+    )
+    n_new = next_uid - state.next_uid
+
+    # --- keyframe decision (ref CTrackerGT.h:47-49,68) -------------------
+    delta_kf = jnp.matmul(T_new, se3.inv_T(state.T_last_keyframe),
+                          precision=jax.lax.Precision.HIGHEST)
+    dt2 = jnp.sum(delta_kf[:3, 3] ** 2)
+    dr2 = jnp.sum(se3.log_so3(delta_kf[:3, :3]) ** 2)
+    n_optimal = jnp.sum((table.active & table.is_optimal & track.tracked).astype(jnp.int32))
+    is_keyframe = (
+        (dt2 > params.keyframe_translation_m2) | (dr2 > params.keyframe_rotation_rad2)
+    ) & (n_optimal >= params.keyframe_min_landmarks)
+
+    # bump keyframe presences of the landmarks visible in a new keyframe
+    # (promotion rule, ref CFundamentalMatcher.cpp:203-242)
+    table = table.replace(
+        keyframe_presences=jnp.where(
+            is_keyframe & table.active & track.tracked,
+            table.keyframe_presences + 1,
+            table.keyframe_presences,
+        )
+    )
+
+    new_state = FrameState(
+        T_wc=T_new,
+        T_wc_prev=state.T_wc,
+        T_last_keyframe=jnp.where(is_keyframe, T_new, state.T_last_keyframe),
+        table=table,
+        next_uid=next_uid,
+        frame_idx=state.frame_idx + 1,
+        instability=state.instability if use_gt_pose else instability,
+    )
+    out = FrameOutput(
+        T_wc=T_new,
+        posit_ok=posit_ok,
+        n_tracked=n_tracked,
+        n_active=jnp.sum(table.active.astype(jnp.int32)),
+        n_optimal=n_optimal,
+        n_new=n_new,
+        is_keyframe=is_keyframe,
+        avg_error_px2=avg_err,
+        inliers=inliers,
+    )
+    return new_state, out

@@ -1,0 +1,109 @@
+"""Host-side tracker drivers: the GT / SV model families.
+
+Equivalent of the reference's tracker classes (``CTrackerGT`` — ground-truth
+pose playback, CTrackerGT.cpp; ``CTrackerSV`` — pure stereo visual odometry,
+CTrackerSV.cpp). The device does all dense work in
+:func:`svi_mapper_tpu.models.frame.process_frame`; this thin host class
+feeds images, keeps the trajectory/keyframe records, and (later rounds)
+dispatches loop closure + back-end optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svi_mapper_tpu.config import DEFAULT_PARAMS, TrackingParams
+from svi_mapper_tpu.geometry.camera import StereoCamera
+from svi_mapper_tpu.models import frame as frame_mod
+
+
+@dataclasses.dataclass
+class KeyframeRecord:
+    """Host-side keyframe snapshot (ref CKeyFrame: pose + landmark cloud)."""
+
+    index: int
+    frame_idx: int
+    T_wc: np.ndarray            # [4,4]
+    landmark_uids: np.ndarray   # [n]
+    points_w: np.ndarray        # [n, 3] world positions at spawn time
+    descriptors: np.ndarray     # [n, 8] uint32 left reference descriptors
+
+
+class StereoTracker:
+    """Stereo visual odometry driver (the ``tracker_sv`` model; pass
+    ``use_gt_pose=True`` for the ``tracker_gt`` behavior)."""
+
+    def __init__(
+        self,
+        cam: StereoCamera,
+        params: TrackingParams = DEFAULT_PARAMS,
+        use_gt_pose: bool = False,
+        landmark_opt_every: int = 1,
+    ):
+        self.cam = cam
+        self.params = params
+        self.use_gt_pose = use_gt_pose
+        self.landmark_opt_every = max(1, landmark_opt_every)
+        self.state = frame_mod.init_state(params)
+        self.trajectory: list[np.ndarray] = []
+        self.keyframes: list[KeyframeRecord] = []
+        self.outputs: list[frame_mod.FrameOutput] = []
+        self.frame_count = 0
+        self.timings: dict[str, float] = {"frame_total": 0.0}
+
+    def process(self, img_left, img_right, T_gt=None) -> frame_mod.FrameOutput:
+        t0 = time.perf_counter()
+        do_opt = (self.frame_count % self.landmark_opt_every) == 0
+        kwargs = {}
+        if self.use_gt_pose:
+            assert T_gt is not None, "GT tracker needs a ground-truth pose"
+        self.state, out = frame_mod.process_frame(
+            self.state,
+            jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32),
+            self.cam,
+            self.params,
+            None if T_gt is None else jnp.asarray(T_gt, jnp.float32),
+            use_gt_pose=self.use_gt_pose,
+            do_landmark_opt=do_opt,
+            **kwargs,
+        )
+        out.T_wc.block_until_ready()
+        self.timings["frame_total"] += time.perf_counter() - t0
+        self.frame_count += 1
+        self.trajectory.append(np.asarray(out.T_wc))
+        self.outputs.append(out)
+        if bool(out.is_keyframe):
+            self._spawn_keyframe(out)
+        return out
+
+    def _spawn_keyframe(self, out) -> None:
+        """Snapshot visible optimal landmarks (ref keyframe = cloud of
+        visible optimal landmarks, CTrackerGT.cpp:222-250)."""
+        t = self.state.table
+        sel = np.asarray(t.active & t.is_optimal)
+        self.keyframes.append(
+            KeyframeRecord(
+                index=len(self.keyframes),
+                frame_idx=self.frame_count - 1,
+                T_wc=np.asarray(out.T_wc),
+                landmark_uids=np.asarray(t.uid)[sel],
+                points_w=np.asarray(t.pos_w)[sel],
+                descriptors=np.asarray(t.desc_left_ref)[sel],
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def trajectory_array(self) -> np.ndarray:
+        return np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4))
+
+    def fps(self) -> float:
+        if self.frame_count <= 1 or self.timings["frame_total"] <= 0:
+            return 0.0
+        return self.frame_count / self.timings["frame_total"]

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from svi_mapper_tpu.ops.image import box_blur, sobel_gradients
+from svi_mapper_tpu.ops.image import _maxpool_separable, box_blur, sobel_gradients
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -72,10 +72,8 @@ def detect_corners(
     h, w = img.shape
     resp = min_eig_response(img)
 
-    # 3x3 local maximum test via maxpool
-    neigh = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    # 3x3 local maximum test via separable shifted max
+    neigh = _maxpool_separable(resp, 1)
     is_peak = resp >= neigh
 
     # border + user mask
@@ -134,7 +132,6 @@ def occupancy_mask(
     ui = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
     occ = occ.at[vi, ui].add(jnp.where(valid, 1.0, 0.0))
-    # dilate by a (2r+1)^2 box via maxpool
-    size = 2 * radius + 1
-    occ = jax.lax.reduce_window(occ, 0.0, jax.lax.max, (size, size), (1, 1), "SAME")
-    return occ == 0.0
+    # dilate by a (2r+1)^2 box via separable shifted max
+    occ = _maxpool_separable(occ, radius)
+    return occ <= 0.0

@@ -113,6 +113,53 @@ def brief_descriptors(img_smooth: jax.Array, uv: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def brief_dense(img_smooth: jax.Array) -> jax.Array:
+    """Dense BRIEF: the packed descriptor of EVERY pixel, as one fused op.
+
+    The TPU-native replacement for the reference's per-candidate descriptor
+    extraction along epipolar scanlines (CTriangulator.cpp:65-117 extracts
+    BRIEF for a dense row of candidate keypoints every frame; the epipolar
+    tracker re-extracts along sampled curves, CFundamentalMatcher.cpp:
+    2142-2397). Computing bit i for all pixels is one shifted-image
+    comparison ``img[y+ay, x+ax] < img[y+by, x+bx]`` — 256 fused VPU ops —
+    after which *all* matching anywhere in the frame is a cheap gather into
+    the [H, W, 8] uint32 field. Descriptors agree bit-for-bit with
+    :func:`brief_descriptors` away from the image border.
+
+    Cost for KITTI (376x1241): ~120M comparisons + packing, well under a
+    millisecond on one TPU chip; field size 15 MB in HBM.
+    """
+    h, w = img_smooth.shape
+    pad = PATCH_HALF
+    padded = jnp.pad(img_smooth, pad, mode="edge")
+
+    def shifted(dy, dx):
+        return jax.lax.dynamic_slice(padded, (pad + dy, pad + dx), (h, w))
+
+    words = []
+    for wi in range(DESCRIPTOR_WORDS):
+        acc = jnp.zeros((h, w), jnp.uint32)
+        for bi in range(32):
+            i = wi * 32 + bi
+            ay, ax = int(_PATTERN_A[i, 1]) - PATCH_HALF, int(_PATTERN_A[i, 0]) - PATCH_HALF
+            by, bx = int(_PATTERN_B[i, 1]) - PATCH_HALF, int(_PATTERN_B[i, 0]) - PATCH_HALF
+            bit = shifted(ay, ax) < shifted(by, bx)
+            acc = acc | (bit.astype(jnp.uint32) << jnp.uint32(bi))
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
+@jax.jit
+def brief_at(dense: jax.Array, uv: jax.Array) -> jax.Array:
+    """Gather packed descriptors from a dense field at (possibly fractional)
+    pixel locations (nearest-pixel, clamped to the image)."""
+    h, w = dense.shape[:2]
+    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return dense[y, x]
+
+
+@jax.jit
 def brief_descriptors_at_offsets(
     img_smooth: jax.Array, uv: jax.Array, offsets: jax.Array
 ) -> jax.Array:

@@ -22,22 +22,49 @@ import numpy as np
 
 
 def _conv1d(img: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
-    """Separable 1D convolution along an axis with SAME edge padding."""
+    """Separable 1D convolution along an axis with SAME edge padding.
+
+    Implemented as shift-multiply-accumulate over the (small, static) tap
+    count rather than ``conv_general_dilated``: a 1-channel conv wastes the
+    MXU, while k shifted adds fuse into a couple of VPU passes.
+    """
     k = kernel.shape[0]
     pad = k // 2
     if axis == 0:
         padded = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-        window = (k, 1)
     else:
         padded = jnp.pad(img, ((0, 0), (pad, pad)), mode="edge")
-        window = (1, k)
-    lhs = padded[None, None]  # NCHW
-    rhs = kernel.reshape(window)[None, None]  # OIHW
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs.astype(img.dtype), window_strides=(1, 1), padding="VALID",
-        preferred_element_type=jnp.float32,
-    )
-    return out[0, 0]
+    h, w = img.shape
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        tap = jax.lax.dynamic_slice(
+            padded, (i, 0) if axis == 0 else (0, i), (h, w)
+        )
+        out = out + tap * kernel[i]
+    return out
+
+
+def _maxpool_separable(img: jax.Array, radius: int) -> jax.Array:
+    """(2r+1)^2 max filter as two separable shifted-max passes."""
+    h, w = img.shape
+
+    def pass_axis(x, axis):
+        padded = jnp.pad(
+            x,
+            ((radius, radius), (0, 0)) if axis == 0 else ((0, 0), (radius, radius)),
+            constant_values=-jnp.inf,
+        )
+        out = x
+        for i in range(2 * radius + 1):
+            if i == radius:
+                continue
+            tap = jax.lax.dynamic_slice(
+                padded, (i, 0) if axis == 0 else (0, i), (h, w)
+            )
+            out = jnp.maximum(out, tap)
+        return out
+
+    return pass_axis(pass_axis(img, 0), 1)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))

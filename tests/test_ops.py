@@ -245,3 +245,23 @@ def test_count_matches(rng):
     query = descriptors.pack_bits(jnp.asarray(np.concatenate([bits[:12], ~bits[12:]], 0)))
     n = int(np.asarray(hamming.count_matches(query, ref, cutoff=10)))
     assert n == 12
+
+
+def test_brief_dense_matches_patch_extraction(rng):
+    img = jnp.asarray(rng.random((100, 140)).astype(np.float32))
+    smooth = image.box_blur(img, 5)
+    dense = descriptors.brief_dense(smooth)
+    assert dense.shape == (100, 140, 8) and dense.dtype == jnp.uint32
+    uv = jnp.asarray(
+        np.stack([rng.uniform(20, 120, 32), rng.uniform(20, 80, 32)], -1).astype(np.float32)
+    )
+    d_patch = np.asarray(descriptors.brief_descriptors(smooth, uv))
+    d_dense = np.asarray(descriptors.brief_at(dense, uv))
+    assert np.array_equal(d_patch, d_dense)
+
+
+def test_brief_at_clamps_out_of_bounds(rng):
+    img = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+    dense = descriptors.brief_dense(img)
+    d = descriptors.brief_at(dense, jnp.asarray([[-5.0, -5.0], [200.0, 200.0]]))
+    assert d.shape == (2, 8)  # no crash, clamped
