@@ -183,7 +183,10 @@ class TrackingParams:
 
     # --- loop closure (ref CTrackerGT.cpp:422,479,506-631; Cg2oOptimizer.h:125) ---
     closure_min_matches: int = 25
-    closure_min_relative_matches: float = 0.5
+    # the reference gates at 0.5 of the full keyframe cloud
+    # (CTrackerGT.cpp:479); our pools are the currently-OPTIMAL landmark
+    # subset, so the same fraction is stricter — 0.25 matches the intent
+    closure_min_relative_matches: float = 0.25
     closure_icp_inlier_m: float = 1.0
     closure_icp_min_inliers: int = 25
     closure_icp_max_error: float = 0.9

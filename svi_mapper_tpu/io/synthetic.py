@@ -73,10 +73,18 @@ _PLANES = [
 
 
 def _texture(p: jax.Array) -> jax.Array:
-    """Smooth procedural intensity at world points ``p`` [..., 3] -> [0,255]."""
+    """Procedural intensity at world points ``p`` [..., 3] -> [0, 255].
+
+    A mostly piecewise-constant "blob" field (thresholded sine sum) with a
+    smooth component: blob boundaries give strong, BRIEF-stable corners —
+    binary tests over locally constant regions survive the perspective
+    warps between revisits far better than a smooth field does.
+    """
     phases = jnp.einsum("...i,ki->...k", p, _OMEGA) + _PHASE
     val = jnp.sum(jnp.sin(phases) * _AMP, axis=-1)
-    return (val * 0.5 + 0.5) * 255.0
+    hard = (val > 0).astype(jnp.float32)
+    soft = val * 0.5 + 0.5
+    return (0.75 * hard + 0.25 * soft) * 255.0
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -151,13 +159,42 @@ def corridor_trajectory(n_frames: int, step: float = 0.8, yaw_amp: float = 0.003
     return np.stack(poses)
 
 
+def loop_trajectory(n_frames: int, radius: float = 5.0,
+                    frames_per_loop: int | None = None) -> np.ndarray:
+    """Ground-truth poses T_wc [N,4,4] around a circle (camera heading
+    tangent) — the loop-closure test trajectory. With
+    ``frames_per_loop < n_frames`` the path continues past 2*pi, so late
+    frames REVISIT early poses (closure opportunities at near-identical
+    viewpoints, the operating condition of the reference's closure gates)."""
+    poses = []
+    if frames_per_loop is None:
+        frames_per_loop = n_frames
+    step_angle = 2.0 * np.pi / frames_per_loop
+    arc = radius * step_angle
+    T_cw = np.eye(4, dtype=np.float32)
+    for _ in range(n_frames):
+        d = np.asarray(
+            se3.exp_se3(jnp.asarray([0.0, 0.0, arc, 0.0, step_angle, 0.0], jnp.float32))
+        )
+        T_cw = T_cw @ d
+        poses.append(np.linalg.inv(T_cw).astype(np.float32))
+    return np.stack(poses)
+
+
 class SyntheticSequence:
     """Iterable stereo sequence with ground truth (the fixture generator)."""
 
     def __init__(self, n_frames: int = 40, width: int = 512, height: int = 256,
-                 step: float = 0.8, yaw_amp: float = 0.003):
+                 step: float = 0.8, yaw_amp: float = 0.003,
+                 trajectory: str = "corridor", loop_radius: float = 5.0):
         self.cam = default_camera(width, height)
-        self.poses_wc = corridor_trajectory(n_frames, step, yaw_amp)
+        if trajectory == "corridor":
+            self.poses_wc = corridor_trajectory(n_frames, step, yaw_amp)
+        elif trajectory == "loop":
+            self.poses_wc = loop_trajectory(
+                n_frames, loop_radius, frames_per_loop=int(n_frames / 1.15))
+        else:
+            raise ValueError(f"unknown trajectory {trajectory!r}")
         self.n_frames = n_frames
 
     def frame(self, i: int) -> tuple[jax.Array, jax.Array, np.ndarray]:

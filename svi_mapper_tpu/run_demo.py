@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--step", type=float, default=0.5)
     ap.add_argument("--gt", action="store_true", help="ground-truth pose playback (tracker_gt mode)")
+    ap.add_argument("--slam", action="store_true",
+                    help="full SLAM (loop closure + windowed BA) instead of pure VO")
+    ap.add_argument("--trajectory", choices=["corridor", "loop"], default="corridor")
+    ap.add_argument("--loop-radius", type=float, default=12.0)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--landmarks", type=int, default=1024)
     ap.add_argument("--save", type=str, default="", help="write KITTI trajectory here")
@@ -36,14 +40,21 @@ def main() -> None:
     from svi_mapper_tpu.config import DEFAULT_PARAMS
     from svi_mapper_tpu.eval import trajectory as ev
     from svi_mapper_tpu.io.synthetic import SyntheticSequence
+    from svi_mapper_tpu.models.slam import SLAMSystem
     from svi_mapper_tpu.models.tracker import StereoTracker
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    seq = SyntheticSequence(args.frames, args.width, args.height, step=args.step)
+    seq = SyntheticSequence(
+        args.frames, args.width, args.height, step=args.step,
+        trajectory=args.trajectory, loop_radius=args.loop_radius,
+    )
     params = dataclasses.replace(
         DEFAULT_PARAMS, max_landmarks=args.landmarks, max_detections=args.landmarks
     )
-    tracker = StereoTracker(seq.cam, params, use_gt_pose=args.gt)
+    if args.slam:
+        tracker = SLAMSystem(seq.cam, params, use_gt_pose=args.gt)
+    else:
+        tracker = StereoTracker(seq.cam, params, use_gt_pose=args.gt)
 
     t_start = time.perf_counter()
     for i, (L, R, T_gt) in enumerate(seq):
@@ -57,6 +68,8 @@ def main() -> None:
     wall = time.perf_counter() - t_start
 
     m = ev.evaluate(tracker.trajectory_array, seq.poses_wc)
+    if args.slam:
+        m_opt = ev.evaluate(tracker.optimized_trajectory(), seq.poses_wc)
     fps = args.frames / wall
     print("-" * 70)
     print(f"frames: {args.frames}  wall: {wall:.2f}s  fps(incl. compile+render): {fps:.2f}")
@@ -66,6 +79,10 @@ def main() -> None:
     print(f"rel translation err: {m.rel_trans_err_m * 100:.3f} cm/frame ({m.rel_trans_ratio * 100:.2f} %)")
     print(f"rel rotation err:    {m.rel_rot_err_rad:.5f} rad/frame")
     print(f"relative translation precision: {m.precision:.4f}")
+    if args.slam:
+        print(f"SLAM stats: {tracker.stats}")
+        print(f"OPTIMIZED ATE RMSE:  {m_opt.ate_rmse_m * 100:.2f} cm "
+              f"(raw VO {m.ate_rmse_m * 100:.2f} cm)")
     if args.save:
         ev.save_kitti_trajectory(args.save, tracker.trajectory_array)
         print(f"trajectory written to {args.save}")

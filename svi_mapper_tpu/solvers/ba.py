@@ -1,0 +1,190 @@
+"""Bundle adjustment: batched Schur-complement Levenberg-Marquardt.
+
+TPU-native replacement for the full-graph stage of ``Cg2oOptimizer``
+(Cg2oOptimizer.cpp:232-522: BlockSolverX + CHOLMOD + Levenberg over pose and
+landmark vertices with Cauchy-robust stereo measurement edges, iterated in
+chunks until <1 % chi^2 improvement, :954-980). g2o's sparse-direct solve is
+pointer-heavy and hostile to TPU; the classic Schur trick keeps everything
+block-dense and batched:
+
+  * residuals/Jacobians for ALL (keyframe, landmark) observations at once
+    from a dense ``[K, L, 4]`` observation tensor + mask (window BA sizes:
+    K <= ~32 poses, L <= ~4096 landmarks — the dense tensor is ~2 MB);
+  * Hessian blocks H_pp [K,6,6], H_ll [L,3,3], H_pl [K,L,6,3] by einsum
+    (MXU work), landmark blocks inverted in parallel (batched 3x3);
+  * the reduced camera system S = H_pp - W H_ll^-1 W^T is a small dense
+    [6K, 6K] matrix solved by Cholesky;
+  * Levenberg damping with accept/reject on chi^2, fixed iteration cap,
+    and the reference's <1 % relative-improvement stop.
+
+Gauge freedom is fixed by masking updates of designated poses
+(``fix_mask``), the batched analog of g2o's setFixed on reference vertices
+(Cg2oOptimizer.cpp:342-360).
+
+Residuals are the same 4D stereo reprojection error as the front-end
+solvers with the 10 px^2 robust kernel; this replaces the reference's
+depth-tiered edge selection (XYZ / depth / disparity edges,
+Cg2oOptimizer.cpp:1383-1466) — pixel-space residuals carry the same
+depth-dependent information content natively.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry.camera import StereoCamera
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@struct.dataclass
+class BAResult:
+    T_wc: jax.Array        # [K,4,4] optimized poses
+    points_w: jax.Array    # [L,3] optimized landmarks
+    chi2_initial: jax.Array
+    chi2_final: jax.Array
+    iterations: jax.Array
+
+
+def _residuals(T_wc, X, obs_uv, fx, fy, cx, cy, bq):
+    """r [K,L,4], p_cam [K,L,3] for all observation pairs."""
+    p_c = jnp.einsum("kij,lj->kli", T_wc[:, :3, :3], X, precision=_PREC) + T_wc[:, None, :3, 3]
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / safe_z
+    u_l = fx * x * iz + cx
+    v_l = fy * y * iz + cy
+    u_r = (fx * x + bq) * iz + cx
+    pred = jnp.stack([u_l, v_l, u_r, v_l], axis=-1)
+    return pred - obs_uv, p_c
+
+
+def _jacobians(p_c, T_wc, fx, fy, bq):
+    """J_pose [K,L,4,6] (left-mult se3 of T_k), J_point [K,L,4,3] (world X)."""
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / safe_z
+    iz2 = iz * iz
+    zr = jnp.zeros_like(x)
+    J_ul = jnp.stack([fx * iz, zr, -fx * x * iz2], axis=-1)
+    J_vl = jnp.stack([zr, fy * iz, -fy * y * iz2], axis=-1)
+    J_ur = jnp.stack([fx * iz, zr, -(fx * x + bq) * iz2], axis=-1)
+    J_uv = jnp.stack([J_ul, J_vl, J_ur, J_vl], axis=-2)          # [K,L,4,3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p_c.dtype), p_c.shape[:-1] + (3, 3))
+    J_pc = jnp.concatenate([eye, -se3.hat(p_c)], axis=-1)        # [K,L,3,6]
+    J_pose = jnp.einsum("klri,klij->klrj", J_uv, J_pc, precision=_PREC)
+    # d p_c / d X_world = R_k
+    J_point = jnp.einsum("klri,kij->klrj", J_uv, T_wc[:, :3, :3], precision=_PREC)
+    return J_pose, J_point
+
+
+def _chi2(r, w_mask):
+    return jnp.sum(w_mask * jnp.sum(r * r, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def bundle_adjust(
+    T_wc: jax.Array,          # [K,4,4]
+    points_w: jax.Array,      # [L,3]
+    obs_uv: jax.Array,        # [K,L,4]
+    obs_mask: jax.Array,      # [K,L] bool
+    cam: StereoCamera,
+    fix_mask: jax.Array,      # [K] bool — poses held fixed (gauge)
+    *,
+    kernel_px2: float = 10.0,
+    max_iterations: int = 10,
+    lm_lambda0: float = 1e-4,
+    point_damping: float = 1e-6,
+    min_rel_improvement: float = 0.01,   # ref <1% chi2 stop (Cg2o:966-977)
+) -> BAResult:
+    fx, fy = cam.left.fx, cam.left.fy
+    cx, cy = cam.left.cx, cam.left.cy
+    bq = cam.right.P[0, 3]
+    K = T_wc.shape[0]
+    L = points_w.shape[0]
+    dtype = points_w.dtype
+    maskf = obs_mask.astype(dtype)
+
+    def robust_w(r):
+        err2 = jnp.sum(r * r, axis=-1)
+        w = jnp.where(err2 > kernel_px2, kernel_px2 / jnp.maximum(err2, 1e-12), 1.0)
+        return w * maskf
+
+    r0, _ = _residuals(T_wc, points_w, obs_uv, fx, fy, cx, cy, bq)
+    chi2_init = _chi2(r0, robust_w(r0))
+
+    def lm_step(carry):
+        T, X, lam, chi2_prev, it, done = carry
+        r, p_c = _residuals(T, X, obs_uv, fx, fy, cx, cy, bq)
+        w = robust_w(r)                                          # [K,L]
+        # in-front mask (behind-camera obs excluded)
+        w = w * (p_c[..., 2] > 0.05)
+        J_pose, J_point = _jacobians(p_c, T, fx, fy, bq)
+
+        H_pp = jnp.einsum("klri,kl,klrj->kij", J_pose, w, J_pose, precision=_PREC)
+        H_ll = jnp.einsum("klri,kl,klrj->lij", J_point, w, J_point, precision=_PREC)
+        H_pl = jnp.einsum("klri,kl,klrj->klij", J_pose, w, J_point, precision=_PREC)
+        b_p = jnp.einsum("klri,kl,klr->ki", J_pose, w, r, precision=_PREC)
+        b_l = jnp.einsum("klri,kl,klr->li", J_point, w, r, precision=_PREC)
+
+        # Levenberg damping
+        H_pp = H_pp + lam * jnp.eye(6, dtype=dtype)[None]
+        H_ll = H_ll + (lam + point_damping) * jnp.eye(3, dtype=dtype)[None]
+
+        H_ll_inv = jnp.linalg.inv(H_ll)                          # [L,3,3] batched
+
+        # Schur complement S = H_pp_diag - sum_l W_kl Hll^-1 W_k'l^T
+        W_Hinv = jnp.einsum("klij,ljm->klim", H_pl, H_ll_inv, precision=_PREC)  # [K,L,6,3]
+        S_off = jnp.einsum("klim,qljm->kiqj", W_Hinv, H_pl, precision=_PREC)    # [K,6,K,6]
+        S = -S_off
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(H_pp)
+        rhs = b_p - jnp.einsum("klim,lm->ki", W_Hinv, b_l, precision=_PREC)
+
+        # gauge fixing: zero out rows/cols of fixed poses, identity diagonal
+        free = (~fix_mask).astype(dtype)                          # [K]
+        Sm = S * free[:, None, None, None] * free[None, None, :, None]
+        Sm = Sm.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            (1.0 - free)[:, None, None] * jnp.eye(6, dtype=dtype)
+        )
+        rhs = rhs * free[:, None]
+
+        S_flat = Sm.reshape(K * 6, K * 6)
+        dp = -jnp.linalg.solve(S_flat, rhs.reshape(K * 6)).reshape(K, 6)
+        dp = dp * free[:, None]
+        # back-substitute landmark updates
+        dx = -jnp.einsum("lij,lj->li", H_ll_inv,
+                         b_l + jnp.einsum("klij,ki->lj", H_pl, dp, precision=_PREC),
+                         precision=_PREC)
+
+        T_new = jax.vmap(se3.apply_left_update)(dp, T)
+        X_new = X + dx
+
+        r_new, _ = _residuals(T_new, X_new, obs_uv, fx, fy, cx, cy, bq)
+        chi2_new = _chi2(r_new, robust_w(r_new))
+        accept = chi2_new < chi2_prev
+        T = jnp.where(accept, T_new, T)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, lam * 0.3, lam * 8.0)
+        rel_gain = (chi2_prev - chi2_new) / jnp.maximum(chi2_prev, 1e-12)
+        done = accept & (rel_gain < min_rel_improvement)
+        chi2 = jnp.where(accept, chi2_new, chi2_prev)
+        return T, X, lam, chi2, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < max_iterations) & ~done
+
+    T_f, X_f, _, chi2_f, iters, _ = jax.lax.while_loop(
+        cond, lm_step,
+        (T_wc, points_w, jnp.asarray(lm_lambda0, dtype), chi2_init, jnp.int32(0),
+         jnp.asarray(False)),
+    )
+    return BAResult(
+        T_wc=T_f, points_w=X_f,
+        chi2_initial=chi2_init, chi2_final=chi2_f, iterations=iters,
+    )
