@@ -85,7 +85,7 @@ def _constant_velocity_prior(state: FrameState) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "use_gt_pose")
+    jax.jit, static_argnames=("params", "use_gt_pose", "use_external_prior")
 )
 def process_frame(
     state: FrameState,
@@ -93,9 +93,10 @@ def process_frame(
     img_right: jax.Array,
     cam: StereoCamera,
     params: TrackingParams,
-    T_gt: jax.Array | None = None,   # [4,4] (GT mode prior / pose)
+    T_gt: jax.Array | None = None,   # [4,4] GT pose, or external prior
     *,
     use_gt_pose: bool = False,
+    use_external_prior: bool = False,   # T_gt is a PRIOR (IMU), posit still runs
     do_landmark_opt: jax.Array | bool = True,
 ) -> tuple[FrameState, FrameOutput]:
     """Process one stereo frame. Compiled once per image shape."""
@@ -106,7 +107,7 @@ def process_frame(
     dense_r = brief_dense(smooth_r)
 
     # --- pose prior ------------------------------------------------------
-    if use_gt_pose:
+    if use_gt_pose or use_external_prior:
         assert T_gt is not None
         T_prior = T_gt
     else:

@@ -1,0 +1,162 @@
+"""Stereo + IMU SLAM: the SVI model family.
+
+TPU-native equivalent of ``CTrackerSVI`` (CTrackerSVI.cpp): images are
+histogram-equalized and undistorted/rectified (:339-341), the pose prior
+comes from IMU integration instead of constant velocity (rotation from the
+integrated gyro, translation from v dt + 1/2 a dt^2, :356-364, damped on
+measurement gaps :377-398), the fallback chain ends in IMU dead reckoning,
+and each keyframe contributes a gravity-direction prior to the pose graph
+(the ``EdgeSE3LinearAcceleration`` unary edge, Cg2oOptimizer.cpp:411).
+
+The IMU must be calibrated first (imu.interpolator.calibrate over a static
+period — the pre-loop of tracker_svi.cpp:145-177).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svi_mapper_tpu.config import DEFAULT_PARAMS, TrackingParams
+from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry.camera import StereoCamera
+from svi_mapper_tpu.imu import interpolator as imu_mod
+from svi_mapper_tpu.models import frame as frame_mod
+from svi_mapper_tpu.models.slam import SLAMSystem
+from svi_mapper_tpu.ops.image import equalize_hist, remap_bilinear
+from svi_mapper_tpu.solvers import pose_graph as pg_mod
+
+
+class StereoInertialTracker(SLAMSystem):
+    """SVI tracker: IMU-primed priors + gravity edges in the pose graph."""
+
+    def __init__(
+        self,
+        cam: StereoCamera,
+        calibration: imu_mod.ImuCalibration,
+        params: TrackingParams = DEFAULT_PARAMS,
+        rectify_maps: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None,
+        equalize: bool = True,
+        gravity_weight: float = 10.0,
+        **kwargs,
+    ):
+        super().__init__(cam, params, use_gt_pose=False, **kwargs)
+        self.calib = calibration
+        self.rectify_maps = None
+        if rectify_maps is not None:
+            self.rectify_maps = tuple(jnp.asarray(m) for m in rectify_maps)
+        self.equalize = equalize
+        self.gravity_weight = gravity_weight
+        self.velocity = np.zeros(3, np.float32)       # camera-frame linear velocity
+        self._last_T = None
+        self._last_dt = None
+        self.gravity_obs: list[np.ndarray] = []       # per-keyframe down directions
+
+    # ------------------------------------------------------------------
+    def preprocess(self, img):
+        """equalizeHist + undistortAndrectify (ref CTrackerSVI.cpp:339-341)."""
+        x = jnp.asarray(img)
+        if self.equalize:
+            x = equalize_hist(jnp.clip(x, 0, 255).astype(jnp.uint8))
+        return x.astype(jnp.float32)
+
+    def process_imu(self, img_left, img_right, omega, accel, dt):
+        """One SVI frame: IMU prior -> visual solve -> velocity update."""
+        L = self.preprocess(img_left)
+        R = self.preprocess(img_right)
+        if self.rectify_maps is not None:
+            mlx, mly, mrx, mry = self.rectify_maps
+            L = remap_bilinear(L, mlx, mly)
+            R = remap_bilinear(R, mrx, mry)
+
+        # IMU prior (ref CTrackerSVI.cpp:354-399)
+        T = jnp.asarray(self.state.T_wc)
+        w = jnp.asarray(omega, jnp.float32) - jnp.asarray(self.calib.bias_gyro, jnp.float32)
+        a = imu_mod.gravity_filtered_accel(
+            jnp.asarray(accel, jnp.float32), T[:3, :3],
+            jnp.asarray(self.calib.bias_accel, jnp.float32),
+        )
+        T_prior = imu_mod.integrate_prior(
+            T, w, a, jnp.asarray(self.velocity), jnp.asarray(dt, jnp.float32)
+        )
+
+        out = self._process_with_prior(L, R, np.asarray(T_prior))
+
+        # velocity from the accepted visual pose (finite difference)
+        delta = np.asarray(out.T_wc) @ np.linalg.inv(np.asarray(T))
+        xi = np.asarray(se3.log_se3(jnp.asarray(delta, jnp.float32)))
+        if dt > 1e-6:
+            self.velocity = (xi[:3] / dt).astype(np.float32)
+        return out
+
+    # ------------------------------------------------------------------
+    def _process_with_prior(self, img_left, img_right, T_prior):
+        import time
+
+        t0 = time.perf_counter()
+        do_opt = (self.frame_count % self.landmark_opt_every) == 0
+        self.state, out = frame_mod.process_frame(
+            self.state,
+            jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32),
+            self.cam,
+            self.params,
+            jnp.asarray(T_prior, jnp.float32),
+            use_gt_pose=False,
+            use_external_prior=True,
+            do_landmark_opt=do_opt,
+        )
+        out.T_wc.block_until_ready()
+        self.timings["frame_total"] += time.perf_counter() - t0
+        self.frame_count += 1
+        self.trajectory.append(np.asarray(out.T_wc))
+        self.outputs.append(out)
+        if bool(out.is_keyframe):
+            # record the measured gravity direction for the pose-graph prior
+            R_wc = np.asarray(self.state.T_wc)[:3, :3]
+            down_w = np.array([0.0, -1.0, 0.0], np.float32)
+            self.gravity_obs.append((R_wc @ down_w).astype(np.float32))
+            self._on_keyframe(out)
+        return out
+
+    # ------------------------------------------------------------------
+    def _optimize_pose_graph(self) -> None:
+        """Pose graph with gravity unary edges (ref Cg2oOptimizer.cpp:411)."""
+        N = len(self.slam_keyframes)
+        if N < 2 or len(self.gravity_obs) < N:
+            return super()._optimize_pose_graph()
+        T = np.stack([k.T_wc for k in self.slam_keyframes]).astype(np.float32)
+        ei, ej, Ms, ws = [], [], [], []
+        for k in range(1, N):
+            M = (T[k] @ np.linalg.inv(T[k - 1])).astype(np.float32)
+            ei.append(k - 1); ej.append(k); Ms.append(M)
+            ws.append(float(pg_mod.sequential_edge_weight(jnp.asarray(M))))
+        for c in self.accepted_closures:
+            ei.append(c.ref_kf); ej.append(c.query_kf)
+            Ms.append(c.T_qr.astype(np.float32)); ws.append(1.0)
+        edges = pg_mod.PoseGraphEdges(
+            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+            T_ij=jnp.asarray(np.stack(Ms)), weight=jnp.asarray(ws, jnp.float32),
+            valid=jnp.ones(len(ei), bool),
+        )
+        grav = pg_mod.GravityPriors(
+            down_cam=jnp.asarray(np.stack(self.gravity_obs[:N])),
+            weight=jnp.full((N,), self.gravity_weight, jnp.float32),
+            valid=jnp.ones((N,), bool),
+        )
+        fix = np.zeros(N, bool); fix[0] = True
+        res = pg_mod.optimize_pose_graph(
+            jnp.asarray(T), edges, jnp.asarray(fix), gravity=grav
+        )
+        T_opt = np.asarray(res.T_wc)
+        self.stats["pose_graph_runs"] += 1
+        if not np.isfinite(T_opt).all() or float(res.chi2_final) > float(res.chi2_initial):
+            self.stats["pose_graph_rejected"] = self.stats.get("pose_graph_rejected", 0) + 1
+            return
+        for k, kf in enumerate(self.slam_keyframes):
+            kf.T_wc = T_opt[k]
+        self.db.T_wc = jnp.asarray(
+            np.concatenate([T_opt, np.asarray(self.db.T_wc)[N:]], axis=0), jnp.float32
+        )
+        self._apply_world_correction(T[-1], T_opt[-1])

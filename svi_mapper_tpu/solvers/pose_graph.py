@@ -49,6 +49,18 @@ class PoseGraphEdges:
 
 
 @struct.dataclass
+class GravityPriors:
+    """Per-pose gravity-direction measurements — the unary edge
+    ``EdgeSE3LinearAcceleration`` (edge_se3_linear_acceleration.cpp:106-116:
+    error = R â_measured - (0, 0, -1); here the world 'up' is (0, -1, 0) in
+    the y-down camera convention)."""
+
+    down_cam: jax.Array    # [N,3] unit gravity direction measured in camera frame
+    weight: jax.Array      # [N]
+    valid: jax.Array       # [N] bool
+
+
+@struct.dataclass
 class PoseGraphResult:
     T_wc: jax.Array       # [N,4,4]
     chi2_initial: jax.Array
@@ -90,6 +102,7 @@ def optimize_pose_graph(
     edges: PoseGraphEdges,
     fix_mask: jax.Array,        # [N] bool — gauge-fixed poses
     *,
+    gravity: GravityPriors | None = None,
     robust_delta: float = 0.5,  # Cauchy-style kernel on ||r||^2
     max_iterations: int = 20,
     damping: float = 1e-4,
@@ -99,10 +112,21 @@ def optimize_pose_graph(
     N = T_wc.shape[0]
     dtype = T_wc.dtype
     ew = edges.weight * edges.valid.astype(dtype)
+    down_w = jnp.asarray([0.0, -1.0, 0.0], dtype)  # world gravity direction
+
+    def gravity_residual(T):
+        # r = R_wc down_world - down_measured (unary, rotation-only)
+        return jnp.einsum("nij,j->ni", T[:, :3, :3], down_w,
+                          precision=_PREC) - gravity.down_cam
 
     def chi2_of(T):
         r = _edge_residuals(T, edges)
-        return jnp.sum(ew * jnp.sum(r * r, axis=-1))
+        c = jnp.sum(ew * jnp.sum(r * r, axis=-1))
+        if gravity is not None:
+            gw = gravity.weight * gravity.valid.astype(dtype)
+            rg = gravity_residual(T)
+            c = c + jnp.sum(gw * jnp.sum(rg * rg, axis=-1))
+        return c
 
     chi2_init = chi2_of(T_wc)
 
@@ -129,6 +153,19 @@ def optimize_pose_graph(
         b = jnp.zeros((N, 6), dtype)
         b = b.at[edges.i].add(b_i)
         b = b.at[edges.j].add(b_j)
+
+        if gravity is not None:
+            gw = gravity.weight * gravity.valid.astype(dtype)
+            rg = gravity_residual(T)                         # [N,3]
+            Rg = jnp.einsum("nij,j->ni", T[:, :3, :3], down_w, precision=_PREC)
+            # J = [0 | -hat(R down_w)] (3x6) — translation-independent
+            Jg = jnp.concatenate(
+                [jnp.zeros((N, 3, 3), dtype), -se3.hat(Rg)], axis=-1
+            )
+            H = H.at[jnp.arange(N), :, jnp.arange(N), :].add(
+                jnp.einsum("nki,n,nkj->nij", Jg, gw, Jg, precision=_PREC)
+            )
+            b = b + jnp.einsum("nki,n,nk->ni", Jg, gw, rg, precision=_PREC)
 
         free = (~fix_mask).astype(dtype)
         H = H * free[:, None, None, None] * free[None, None, :, None]

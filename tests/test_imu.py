@@ -1,0 +1,150 @@
+"""Tests for the IMU path: calibration, priors, gravity edges, SVI tracker."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from svi_mapper_tpu.config import DEFAULT_PARAMS
+from svi_mapper_tpu.eval import trajectory as ev
+from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.imu import interpolator as imu
+from svi_mapper_tpu.io.synthetic import SyntheticSequence
+from svi_mapper_tpu.models.svi import StereoInertialTracker
+from svi_mapper_tpu.solvers import pose_graph as pg
+
+
+def test_calibration_recovers_biases(rng):
+    """Static period: gravity + biases + noise -> calibration recovers them
+    (ref CIMUInterpolator.cpp:29-105)."""
+    n = 500
+    bias_g = np.array([0.02, -0.01, 0.005])
+    bias_a = np.array([0.1, -0.05, 0.2])
+    # IMU tilted 5 degrees from level
+    R_tilt = np.asarray(se3.exp_so3(jnp.asarray([0.06, 0.0, 0.06], jnp.float32)))
+    up = np.array([0.0, -1.0, 0.0])
+    g_imu = R_tilt.T @ (up * imu.GRAVITY)
+    omega = bias_g + rng.normal(0, 0.002, (n, 3))
+    accel = g_imu + bias_a + rng.normal(0, 0.02, (n, 3))
+    calib = imu.calibrate(omega, accel)
+    assert np.allclose(calib.bias_gyro, bias_g, atol=1e-3)
+    # tilt and the perpendicular accel-bias component are jointly
+    # unobservable from a static period; what IS observable (and what the
+    # reference's alternating loop also converges to) is the consistency
+    # identity R (mean_a - bias) == up * g
+    mean_a = accel.mean(0)
+    recovered = calib.R_imu_to_world @ (mean_a - calib.bias_accel)
+    assert np.allclose(recovered, up * imu.GRAVITY, atol=0.02)
+    # and the noise estimate reflects the injected noise
+    assert np.all(calib.noise_accel < 0.05)
+
+
+def test_threshold_filter():
+    v = jnp.asarray([0.005, -0.5, 0.02])
+    out = np.asarray(imu.threshold_filter(v, imu.IMPRECISION_OMEGA))
+    assert out[0] == 0.0 and out[1] == -0.5 and out[2] == 0.02
+
+
+def test_integrate_prior_matches_motion(rng):
+    """The IMU prior from synthesized measurements must predict the next GT
+    pose (ref CTrackerSVI.cpp:356-364 integration)."""
+    seq_poses = []
+    T_cw = np.eye(4, dtype=np.float32)
+    for k in range(10):
+        d = np.asarray(se3.exp_se3(jnp.asarray([0.01, 0, 0.4, 0, 0.02, 0.002], jnp.float32)))
+        T_cw = T_cw @ d
+        seq_poses.append(np.linalg.inv(T_cw).astype(np.float32))
+    poses = np.stack(seq_poses)
+    dt = 0.05
+    omega, accel = imu.synthesize_measurements(poses, dt)
+    # start exactly at pose k, integrate one step with known velocity
+    k = 5
+    delta = poses[k + 1] @ np.linalg.inv(poses[k])
+    xi = np.asarray(se3.log_se3(jnp.asarray(delta, jnp.float32)))
+    vel = xi[:3] / dt
+    T_prior = imu.integrate_prior(
+        jnp.asarray(poses[k]), jnp.asarray(omega[k]),
+        jnp.zeros(3), jnp.asarray(vel, jnp.float32), jnp.asarray(dt),
+    )
+    # prediction error well under a frame of motion
+    err = np.abs(np.asarray(T_prior) - poses[k + 1]).max()
+    motion = np.abs(poses[k + 1] - poses[k]).max()
+    assert err < 0.2 * motion
+
+
+def test_integrate_prior_damped_on_gap():
+    T = jnp.eye(4)
+    w = jnp.asarray([0.0, 0.5, 0.0])
+    v = jnp.asarray([0.0, 0.0, 2.0])
+    ok = imu.integrate_prior(T, w, jnp.zeros(3), v, jnp.asarray(0.05))
+    stale = imu.integrate_prior(T, w, jnp.zeros(3), v, jnp.asarray(0.2))
+    # stale integration is damped: smaller step per unit time
+    step_ok = np.abs(np.asarray(ok)[2, 3]) / 0.05
+    step_stale = np.abs(np.asarray(stale)[2, 3]) / 0.2
+    assert step_stale < 0.6 * step_ok
+
+
+def test_gravity_prior_constrains_roll(rng):
+    """A pose graph with only weak odometry + gravity priors must keep
+    poses upright (the EdgeSE3LinearAcceleration role)."""
+    N = 8
+    # truth: identity chain; estimate: each pose rolled by 0.2 rad
+    T_true = np.broadcast_to(np.eye(4, dtype=np.float32), (N, 4, 4)).copy()
+    roll = np.asarray(se3.exp_se3(jnp.asarray([0, 0, 0, 0, 0, 0.2], jnp.float32)))
+    T_est = np.stack([roll @ T_true[k] for k in range(N)]).astype(np.float32)
+    T_est[0] = T_true[0]
+    # odometry edges consistent with the rolled chain (relative identity)
+    ei = list(range(N - 1)); ej = list(range(1, N))
+    Ms = [np.eye(4, dtype=np.float32)] * (N - 1)
+    edges = pg.PoseGraphEdges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        T_ij=jnp.asarray(np.stack(Ms)), weight=jnp.full(N - 1, 0.1, jnp.float32),
+        valid=jnp.ones(N - 1, bool),
+    )
+    down = np.array([0.0, -1.0, 0.0], np.float32)
+    grav = pg.GravityPriors(
+        down_cam=jnp.asarray(np.broadcast_to(down, (N, 3)).copy()),
+        weight=jnp.full(N, 10.0, jnp.float32),
+        valid=jnp.ones(N, bool),
+    )
+    fix = np.zeros(N, bool); fix[0] = True
+    res = pg.optimize_pose_graph(jnp.asarray(T_est), edges, jnp.asarray(fix), gravity=grav)
+    T_opt = np.asarray(res.T_wc)
+    # roll removed: R[1] row ~ [0,1,0]
+    for k in range(1, N):
+        assert np.abs(T_opt[k][:3, :3] @ down - down).max() < 0.02
+
+
+@pytest.mark.slow
+def test_svi_tracker_end_to_end(rng):
+    """SVI pipeline on a synthetic corridor with synthesized IMU."""
+    seq = SyntheticSequence(n_frames=12, width=512, height=256, step=0.5)
+    dt = 0.05
+    bias_g = np.array([0.01, -0.004, 0.002])
+    bias_a = np.array([0.05, -0.02, 0.1])
+    calib_static_omega = bias_g + rng.normal(0, 0.001, (200, 3))
+    up = np.array([0.0, -1.0, 0.0])
+    calib_static_accel = up * imu.GRAVITY + bias_a + rng.normal(0, 0.01, (200, 3))
+    calib = imu.calibrate(calib_static_omega, calib_static_accel)
+
+    fake = imu.ImuCalibration(
+        R_imu_to_world=np.eye(3), bias_gyro=bias_g, bias_accel=bias_a,
+        noise_gyro=np.zeros(3), noise_accel=np.zeros(3), n_samples=200,
+    )
+    omega, accel = imu.synthesize_measurements(
+        seq.poses_wc, dt, calib=fake, noise_gyro=0.002, noise_accel=0.05)
+
+    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512, max_detections=512)
+    tr = StereoInertialTracker(seq.cam, calib, params, equalize=False,
+                               enable_loop_closure=False, enable_local_ba=False)
+    outs = []
+    for i, (L, R, _) in enumerate(seq):
+        if i == 0:
+            out = tr.process_imu(L, R, np.zeros(3), up * imu.GRAVITY, dt)
+        else:
+            out = tr.process_imu(L, R, omega[i - 1], accel[i - 1], dt)
+        outs.append(out)
+    assert all(bool(o.posit_ok) for o in outs[1:])
+    m = ev.evaluate(tr.trajectory_array, seq.poses_wc)
+    assert m.ate_rmse_m < 0.15
