@@ -172,7 +172,7 @@ class TrackingParams:
     landmark_kernel_px2: float = 10.0
     landmark_max_error_px2: float = 9.0
     landmark_min_inlier_ratio: float = 0.5
-    landmark_max_iterations: int = 15
+    landmark_max_iterations: int = 10
     landmark_convergence: float = 1e-5
 
     # --- keyframing (ref CTrackerGT.h:47-49,68,70) ---

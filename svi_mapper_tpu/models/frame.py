@@ -29,7 +29,7 @@ from svi_mapper_tpu.geometry import se3
 from svi_mapper_tpu.geometry.camera import StereoCamera
 from svi_mapper_tpu.mapping import landmarks as lm
 from svi_mapper_tpu.ops.corners import detect_corners, occupancy_mask
-from svi_mapper_tpu.ops.descriptors import brief_at, brief_dense
+from svi_mapper_tpu.ops.descriptors import brief_at, smooth_brief_dense
 from svi_mapper_tpu.ops.image import box_blur
 from svi_mapper_tpu.solvers.landmark_opt import optimize_landmarks
 from svi_mapper_tpu.solvers.posit import solve_stereo_posit
@@ -101,10 +101,8 @@ def process_frame(
 ) -> tuple[FrameState, FrameOutput]:
     """Process one stereo frame. Compiled once per image shape."""
     # --- image preprocessing + dense descriptor fields -------------------
-    smooth_l = box_blur(img_left, 5)
-    smooth_r = box_blur(img_right, 5)
-    dense_l = brief_dense(smooth_l)
-    dense_r = brief_dense(smooth_r)
+    dense_l = smooth_brief_dense(img_left)
+    dense_r = smooth_brief_dense(img_right)
 
     # --- pose prior ------------------------------------------------------
     if use_gt_pose or use_external_prior:
