@@ -37,6 +37,13 @@ class KeyframeCloud:
 
 
 def save_cloud(path: str | Path, cloud: KeyframeCloud) -> None:
+    """Write a cloud file; ``.svic`` dispatches to the native binary codec
+    (svi_mapper_tpu.native.write_cloud_native), anything else to ``.npz``."""
+    if str(path).endswith(".svic"):
+        from svi_mapper_tpu import native
+
+        native.write_cloud_native(path, cloud)
+        return
     np.savez_compressed(
         path,
         format_version=FORMAT_VERSION,
@@ -53,6 +60,10 @@ def save_cloud(path: str | Path, cloud: KeyframeCloud) -> None:
 
 
 def load_cloud(path: str | Path) -> KeyframeCloud:
+    if str(path).endswith(".svic"):
+        from svi_mapper_tpu import native
+
+        return native.read_cloud_native(path)
     with np.load(path) as z:
         version = int(z["format_version"])
         if version > FORMAT_VERSION:

@@ -37,7 +37,14 @@ _BIG = jnp.int32(1 << 20)
 @dataclasses.dataclass
 class KeyframeDatabase:
     """Fixed-capacity stack of keyframe descriptor/point pools
-    (the batched replacement for the BoW database + per-keyframe trees)."""
+    (the batched replacement for the BoW database + per-keyframe trees).
+
+    With ``native_index=True`` a host-side C++ descriptor search tree
+    (:class:`svi_mapper_tpu.native.DescriptorIndex`, the CBITree/DBoW2
+    analog) shadows the pools and shortlists closure candidates in
+    sublinear time — the device all-pairs scoring then only scans the
+    shortlist instead of every stored keyframe.
+    """
 
     capacity: int
     pool_size: int
@@ -47,9 +54,17 @@ class KeyframeDatabase:
     count: jax.Array       # [K] int32
     T_wc: jax.Array        # [K, 4, 4] keyframe poses at spawn
     n: int = 0             # number of keyframes stored
+    index: object | None = None  # optional native DescriptorIndex
 
     @classmethod
-    def create(cls, capacity: int = 512, pool_size: int = 256) -> "KeyframeDatabase":
+    def create(cls, capacity: int = 512, pool_size: int = 256,
+               native_index: bool = False) -> "KeyframeDatabase":
+        index = None
+        if native_index:
+            from svi_mapper_tpu import native
+
+            if native.available():
+                index = native.DescriptorIndex()
         return cls(
             capacity=capacity,
             pool_size=pool_size,
@@ -58,6 +73,7 @@ class KeyframeDatabase:
             valid=jnp.zeros((capacity, pool_size), jnp.bool_),
             count=jnp.zeros((capacity,), jnp.int32),
             T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)).copy(),
+            index=index,
         )
 
     def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray) -> int:
@@ -78,6 +94,8 @@ class KeyframeDatabase:
         self.count = self.count.at[k].set(n)
         self.T_wc = self.T_wc.at[k].set(jnp.asarray(T_wc, jnp.float32))
         self.n = k + 1
+        if self.index is not None:
+            self.index.add(d[:n], k)
         return k
 
 
@@ -209,7 +227,18 @@ def find_closures(
     if n_q < min_matches:
         return []
 
-    scores = np.array(score_pools(desc_q, valid_q, db.desc, db.valid, cutoff=hamming_cutoff))
+    if db.index is not None:
+        # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
+        # descriptor best-leaf vote counts per keyframe — same score
+        # semantics as score_pools but sublinear in stored descriptors
+        q = np.asarray(desc_q)[np.asarray(valid_q)]
+        votes = db.index.query(q, cutoff=hamming_cutoff)
+        scores = np.zeros(db.desc.shape[0], np.int32)
+        scores[: len(votes)] = votes
+    else:
+        scores = np.array(
+            score_pools(desc_q, valid_q, db.desc, db.valid, cutoff=hamming_cutoff)
+        )
     # only earlier, temporally non-adjacent keyframes are eligible
     lo = max(0, query_kf - exclude_recent)
     scores[lo:] = 0

@@ -67,6 +67,7 @@ class SLAMSystem(StereoTracker):
         consensus_window: int = 8,
         max_keyframes: int = 512,
         pool_size: int = 256,
+        native_index: bool = False,
     ):
         super().__init__(cam, params, use_gt_pose=use_gt_pose)
         self.enable_loop_closure = enable_loop_closure
@@ -74,7 +75,9 @@ class SLAMSystem(StereoTracker):
         self.ba_window = ba_window
         self.ba_max_points = ba_max_points
         self.consensus_window = consensus_window
-        self.db = closure_mod.KeyframeDatabase.create(max_keyframes, pool_size)
+        self.db = closure_mod.KeyframeDatabase.create(
+            max_keyframes, pool_size, native_index=native_index
+        )
         self.slam_keyframes: list[SLAMKeyframe] = []
         self.closure_candidates: list[ClosureEdge] = []
         self.accepted_closures: list[ClosureEdge] = []

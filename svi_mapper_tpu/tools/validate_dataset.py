@@ -11,9 +11,20 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("root")
+    ap.add_argument("root", help="KITTI root directory or .svid dump file")
     ap.add_argument("--sequence", default="00")
     args = ap.parse_args()
+
+    if args.root.endswith(".svid"):
+        from svi_mapper_tpu import native
+
+        try:
+            n = native.validate_dump(args.root)
+        except ValueError as e:
+            print(f"  PROBLEM: {e}")
+            raise SystemExit(1)
+        print(f"dump {args.root}: {n} stereo frames — OK")
+        return
 
     from svi_mapper_tpu.io.kitti import KittiSequence, validate_sequence
 
