@@ -1,0 +1,245 @@
+"""Checkpoint / resume of the full SLAM map state.
+
+The reference is not resumable — its only persistence is g2o graph snapshots
+(Cg2oOptimizer.cpp:493-514), keyframe cloud files (CKeyFrame.cpp:138-185)
+and the final KITTI trajectory log. SURVEY.md §5 requires the new framework
+to checkpoint the *whole* map state (landmark arrays, keyframe poses, pose
+graph, closure edges) so long runs can stop and resume exactly.
+
+Everything device-resident here is a fixed-capacity array (the TPU design
+stance), so a checkpoint is one compressed ``.npz``: the FrameState pytree
+leaves, the keyframe database pools, and the ragged host-side records
+(keyframes, closures) stored as concatenated arrays + offsets. A JSON
+manifest carries the scalars, the tracking parameters, and the camera
+calibration, so ``load_checkpoint`` can rebuild a tracker without any other
+inputs. Arrays are pulled to host with ``np.asarray`` — under a sharded
+mesh this is a gather; re-sharding on load is the caller's mesh placement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+CHECKPOINT_VERSION = 1
+
+_STATE_FIELDS = (
+    "T_wc", "T_wc_prev", "T_last_keyframe", "next_uid", "frame_idx",
+    "instability",
+)
+_CAM_FIELDS = ("P", "K", "dist", "R_rect")
+
+
+def _cat(arrays, dtype):
+    """Concatenate a ragged list of [n, ...] arrays -> (flat, offsets)."""
+    if not arrays:
+        return np.zeros((0,), dtype), np.zeros(1, np.int64)
+    flat = np.concatenate([np.asarray(a, dtype) for a in arrays], axis=0)
+    offs = np.zeros(len(arrays) + 1, np.int64)
+    np.cumsum([len(a) for a in arrays], out=offs[1:])
+    return flat, offs
+
+
+def _split(flat, offs):
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
+
+
+def save_checkpoint(path: str | Path, tracker) -> None:
+    """Serialize a :class:`StereoTracker` / :class:`SLAMSystem` to ``path``.
+
+    The checkpoint is self-contained: camera calibration and tracking
+    parameters ride along, so resuming needs only the file.
+    """
+    from svi_mapper_tpu.models.slam import SLAMSystem
+
+    arrays: dict[str, np.ndarray] = {}
+    state = tracker.state
+    for f in _STATE_FIELDS:
+        arrays[f"state__{f}"] = np.asarray(getattr(state, f))
+    for f in dataclasses.fields(state.table):
+        arrays[f"table__{f.name}"] = np.asarray(getattr(state.table, f.name))
+
+    if tracker.trajectory:
+        arrays["trajectory"] = np.stack(tracker.trajectory)
+
+    # camera (both eyes)
+    for eye in ("left", "right"):
+        c = getattr(tracker.cam, eye)
+        for f in _CAM_FIELDS:
+            arrays[f"cam__{eye}__{f}"] = np.asarray(getattr(c, f))
+
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "kind": "slam" if isinstance(tracker, SLAMSystem) else "tracker",
+        "params": dataclasses.asdict(tracker.params),
+        "use_gt_pose": tracker.use_gt_pose,
+        "landmark_opt_every": tracker.landmark_opt_every,
+        "frame_count": tracker.frame_count,
+        "cam": {eye: {"width": getattr(tracker.cam, eye).width,
+                      "height": getattr(tracker.cam, eye).height}
+                for eye in ("left", "right")},
+    }
+
+    is_slam = isinstance(tracker, SLAMSystem)
+    if is_slam:
+        kfs = tracker.slam_keyframes
+        meta["slam"] = {
+            "enable_loop_closure": tracker.enable_loop_closure,
+            "enable_local_ba": tracker.enable_local_ba,
+            "ba_window": tracker.ba_window,
+            "ba_max_points": tracker.ba_max_points,
+            "consensus_window": tracker.consensus_window,
+            "stats": tracker.stats,
+            "kf_index": [k.index for k in kfs],
+            "kf_frame_idx": [k.frame_idx for k in kfs],
+            "db_n": tracker.db.n,
+            "db_capacity": tracker.db.capacity,
+            "db_pool_size": tracker.db.pool_size,
+            "db_native_index": tracker.db.index is not None,
+        }
+        if kfs:
+            arrays["kf__T_wc"] = np.stack([k.T_wc for k in kfs])
+            arrays["kf__obs_uids"], arrays["kf__obs_offs"] = _cat(
+                [k.obs_uids for k in kfs], np.int64)
+            flat_uv = [k.obs_uv4 for k in kfs]
+            arrays["kf__obs_uv4"] = (np.concatenate(flat_uv, axis=0)
+                                     if flat_uv else np.zeros((0, 4), np.float32))
+            arrays["kf__pool_uids"], arrays["kf__pool_offs"] = _cat(
+                [k.pool_uids for k in kfs], np.int64)
+        for name, edges in (("cand", tracker.closure_candidates),
+                            ("acc", tracker.accepted_closures)):
+            if edges:
+                arrays[f"cl__{name}__ij"] = np.asarray(
+                    [(e.ref_kf, e.query_kf, int(e.accepted)) for e in edges],
+                    np.int64)
+                arrays[f"cl__{name}__T"] = np.stack([e.T_qr for e in edges])
+        # keyframe database pools (device arrays -> host)
+        for f in ("desc", "p_cam", "valid", "count", "T_wc"):
+            arrays[f"db__{f}"] = np.asarray(getattr(tracker.db, f))
+    else:
+        kfs = tracker.keyframes
+        meta["kf_index"] = [k.index for k in kfs]
+        meta["kf_frame_idx"] = [k.frame_idx for k in kfs]
+        if kfs:
+            arrays["kf__T_wc"] = np.stack([k.T_wc for k in kfs])
+            arrays["kf__uids"], arrays["kf__offs"] = _cat(
+                [k.landmark_uids for k in kfs], np.int64)
+            arrays["kf__points_w"] = np.concatenate(
+                [k.points_w for k in kfs], axis=0)
+            arrays["kf__desc"] = np.concatenate(
+                [k.descriptors for k in kfs], axis=0)
+
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str | Path):
+    """Rebuild the tracker from a checkpoint file and return it, positioned
+    exactly where :func:`save_checkpoint` left it (same FrameState, keyframe
+    records, closure edges, database pools)."""
+    from svi_mapper_tpu.config import TrackingParams
+    from svi_mapper_tpu.geometry.camera import PinholeCamera, StereoCamera
+    from svi_mapper_tpu.models.slam import ClosureEdge, SLAMKeyframe, SLAMSystem
+    from svi_mapper_tpu.models.tracker import KeyframeRecord, StereoTracker
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop("__meta__")).decode())
+    if meta["version"] > CHECKPOINT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has unsupported version {meta['version']}")
+
+    params = TrackingParams(**meta["params"])
+    eyes = {}
+    for eye in ("left", "right"):
+        eyes[eye] = PinholeCamera(
+            **{f: jnp.asarray(arrays[f"cam__{eye}__{f}"]) for f in _CAM_FIELDS},
+            width=meta["cam"][eye]["width"],
+            height=meta["cam"][eye]["height"],
+        )
+    cam = StereoCamera(left=eyes["left"], right=eyes["right"])
+
+    is_slam = meta["kind"] == "slam"
+    if is_slam:
+        s = meta["slam"]
+        tracker = SLAMSystem(
+            cam, params, use_gt_pose=meta["use_gt_pose"],
+            enable_loop_closure=s["enable_loop_closure"],
+            enable_local_ba=s["enable_local_ba"],
+            ba_window=s["ba_window"], ba_max_points=s["ba_max_points"],
+            consensus_window=s["consensus_window"],
+            max_keyframes=s["db_capacity"], pool_size=s["db_pool_size"],
+            native_index=s["db_native_index"],
+        )
+        tracker.stats = s["stats"]
+    else:
+        tracker = StereoTracker(cam, params, use_gt_pose=meta["use_gt_pose"],
+                                landmark_opt_every=meta["landmark_opt_every"])
+    tracker.frame_count = meta["frame_count"]
+
+    # device state
+    table = tracker.state.table
+    table = table.replace(**{
+        f.name: jnp.asarray(arrays[f"table__{f.name}"])
+        for f in dataclasses.fields(table)
+    })
+    tracker.state = tracker.state.replace(
+        table=table,
+        **{f: jnp.asarray(arrays[f"state__{f}"]) for f in _STATE_FIELDS},
+    )
+    if "trajectory" in arrays:
+        tracker.trajectory = list(arrays["trajectory"])
+
+    if is_slam:
+        s = meta["slam"]
+        if s["kf_index"]:
+            uids = _split(arrays["kf__obs_uids"], arrays["kf__obs_offs"])
+            uv4 = _split(arrays["kf__obs_uv4"], arrays["kf__obs_offs"])
+            pools = _split(arrays["kf__pool_uids"], arrays["kf__pool_offs"])
+            tracker.slam_keyframes = [
+                SLAMKeyframe(index=i, frame_idx=fi,
+                             T_wc=arrays["kf__T_wc"][k],
+                             obs_uids=uids[k], obs_uv4=uv4[k],
+                             pool_uids=pools[k])
+                for k, (i, fi) in enumerate(zip(s["kf_index"], s["kf_frame_idx"]))
+            ]
+        for name, dest in (("cand", "closure_candidates"),
+                           ("acc", "accepted_closures")):
+            key = f"cl__{name}__ij"
+            if key in arrays:
+                edges = [
+                    ClosureEdge(ref_kf=int(i), query_kf=int(j),
+                                T_qr=arrays[f"cl__{name}__T"][k],
+                                accepted=bool(a))
+                    for k, (i, j, a) in enumerate(arrays[key])
+                ]
+                setattr(tracker, dest, edges)
+        db = tracker.db
+        db.n = s["db_n"]
+        for f in ("desc", "p_cam", "valid", "count", "T_wc"):
+            setattr(db, f, jnp.asarray(arrays[f"db__{f}"]))
+        if db.index is not None:
+            # rebuild the native shortlist index from the stored pools
+            desc = arrays["db__desc"]
+            valid = arrays["db__valid"]
+            for k in range(db.n):
+                db.index.add(desc[k][valid[k]], k)
+    else:
+        if meta["kf_index"]:
+            uids = _split(arrays["kf__uids"], arrays["kf__offs"])
+            pts = _split(arrays["kf__points_w"], arrays["kf__offs"])
+            desc = _split(arrays["kf__desc"], arrays["kf__offs"])
+            tracker.keyframes = [
+                KeyframeRecord(index=i, frame_idx=fi,
+                               T_wc=arrays["kf__T_wc"][k],
+                               landmark_uids=uids[k], points_w=pts[k],
+                               descriptors=desc[k])
+                for k, (i, fi) in enumerate(zip(meta["kf_index"],
+                                                meta["kf_frame_idx"]))
+            ]
+    return tracker

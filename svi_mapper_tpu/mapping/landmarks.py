@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from svi_mapper_tpu.ops.descriptors import DESCRIPTOR_WORDS
+from svi_mapper_tpu.ops.descriptors import (
+    DESCRIPTOR_BITS,
+    DESCRIPTOR_WORDS,
+    unpack_bits,
+)
 
 
 @struct.dataclass
@@ -51,6 +55,13 @@ class LandmarkTable:
     desc_left_ref: jax.Array   # [L, 8] uint32 — descriptor at creation
     desc_right_ref: jax.Array  # [L, 8] uint32
     desc_left_last: jax.Array  # [L, 8] uint32 — most recent left descriptor
+
+    # --- per-bit descriptor statistics (ref CBitStatistics Types.h:83,
+    #     accumulated in CLandmark::addMeasurement CLandmark.cpp:96-124):
+    #     bit_sum / meas_count = bit probability, bit_stable / (count-1) =
+    #     permanence; consumed by mapping.bitstats probabilistic matching ---
+    bit_sum: jax.Array         # [L, 256] f32 — sum of observed left bits
+    bit_stable: jax.Array      # [L, 256] f32 — count of bit == previous bit
 
     # --- measurement ring buffer (ref CMeasurementLandmark, Types.h:12-54) ---
     meas_uv: jax.Array         # [L, M, 4] (uL, vL, uR, vR)
@@ -90,6 +101,8 @@ def make_table(capacity: int, max_measurements: int, dtype=jnp.float32) -> Landm
         desc_left_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
         desc_right_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
         desc_left_last=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
+        bit_sum=jnp.zeros((L, DESCRIPTOR_BITS), dtype),
+        bit_stable=jnp.zeros((L, DESCRIPTOR_BITS), dtype),
         meas_uv=jnp.zeros((L, M, 4), dtype),
         meas_T_wc=jnp.zeros((L, M, 4, 4), dtype),
         meas_count=jnp.zeros((L,), jnp.int32),
@@ -159,6 +172,10 @@ def insert_landmarks(
         desc_left_ref=scat(table.desc_left_ref, desc_left),
         desc_right_ref=scat(table.desc_right_ref, desc_right),
         desc_left_last=scat(table.desc_left_last, desc_left),
+        bit_sum=scat(table.bit_sum,
+                     unpack_bits(desc_left).astype(table.bit_sum.dtype)),
+        bit_stable=scat(table.bit_stable,
+                        jnp.zeros((n, DESCRIPTOR_BITS), table.bit_stable.dtype)),
         meas_uv=meas_uv,
         meas_T_wc=meas_T,
         meas_count=scat(table.meas_count, jnp.ones((n,), jnp.int32)),
@@ -191,7 +208,17 @@ def add_measurements(
                   table.meas_T_wc[rows, slot])
     )
     disparity = uv4[:, 0] - uv4[:, 2]
+    # per-bit statistics fold-in (ref CLandmark.cpp:96-124): probability
+    # accumulates the new bits; permanence counts agreement with the
+    # PREVIOUS observation (desc_left_last before this frame's overwrite)
+    bits_new = unpack_bits(desc_left).astype(table.bit_sum.dtype)
+    bits_prev = unpack_bits(table.desc_left_last).astype(table.bit_sum.dtype)
+    agree = 1.0 - jnp.abs(bits_new - bits_prev)
     return table.replace(
+        bit_sum=jnp.where(tracked[:, None], table.bit_sum + bits_new,
+                          table.bit_sum),
+        bit_stable=jnp.where(tracked[:, None], table.bit_stable + agree,
+                             table.bit_stable),
         meas_uv=meas_uv,
         meas_T_wc=meas_T,
         meas_count=jnp.where(tracked, table.meas_count + 1, table.meas_count),

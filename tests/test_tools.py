@@ -1,0 +1,98 @@
+"""Trajectory resampling/alignment math + fault injection + tool CLIs
+(ref runnables interpolate_trajectory.cpp, compute_rotation_icp.cpp,
+triangulation_sampling.cpp, create_cloud; fault hook CLandmark.cpp:648-710)."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from svi_mapper_tpu.eval import trajectory as ev
+from svi_mapper_tpu.utils import faults
+
+RNG = np.random.default_rng(3)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def _traj(n, step=1.0, turn=0.05):
+    """World->camera transforms along an arc."""
+    T = []
+    P = np.eye(4)
+    for i in range(n):
+        P = P @ np.block([[_rot_z(turn), np.array([[step], [0], [0]])],
+                          [np.zeros((1, 3)), np.ones((1, 1))]])
+        T.append(np.linalg.inv(P))
+    return np.stack(T).astype(np.float64)
+
+
+def test_interpolate_recovers_known_poses():
+    T = _traj(10)
+    t_src = np.arange(10, dtype=float)
+    # resampling AT the source times must reproduce the poses
+    out = ev.interpolate_trajectory(t_src, T, t_src)
+    assert np.allclose(out, T, atol=1e-5)
+    # midpoint translation is the chord midpoint
+    out2 = ev.interpolate_trajectory(t_src, T, np.array([3.5]))
+    P = np.linalg.inv(T)
+    p_mid = 0.5 * (P[3, :3, 3] + P[4, :3, 3])
+    assert np.allclose(np.linalg.inv(out2[0])[:3, 3], p_mid, atol=1e-5)
+
+
+def test_interpolate_slerp_rotation_halfway():
+    # two poses differing by a 90 deg z-rotation -> midpoint is 45 deg
+    P0 = np.eye(4)
+    P1 = np.eye(4); P1[:3, :3] = _rot_z(np.pi / 2)
+    T = np.stack([np.linalg.inv(P0), np.linalg.inv(P1)])
+    out = ev.interpolate_trajectory(np.array([0.0, 1.0]), T, np.array([0.5]))
+    R_mid = np.linalg.inv(out[0])[:3, :3]
+    assert np.allclose(R_mid, _rot_z(np.pi / 4), atol=1e-6)
+
+
+def test_align_trajectory_removes_rigid_offset():
+    T = _traj(20)
+    # corrupt with a known rigid transform of the world
+    G = np.eye(4); G[:3, :3] = _rot_z(0.7); G[:3, 3] = [5, -3, 2]
+    T_est = np.einsum("nij,jk->nik", T, np.linalg.inv(G))
+    assert ev.ate_rmse(T_est, T, align=False) > 1.0
+    aligned, R, t = ev.align_trajectory(T_est, T)
+    assert ev.ate_rmse(aligned, T, align=False) < 1e-6
+
+
+def test_flip_descriptor_bits_exact_count():
+    d = RNG.integers(0, 2 ** 32, size=(10, 8), dtype=np.uint64).astype(np.uint32)
+    out = faults.flip_descriptor_bits(d, 6, RNG)
+    x = d ^ out
+    pop = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    assert (pop == 6).all()
+    assert np.array_equal(faults.flip_descriptor_bits(d, 0, RNG), d)
+
+
+def test_drop_measurements_fraction():
+    mask = np.ones(100, bool)
+    out = faults.drop_measurements(mask, 0.3, RNG)
+    assert out.sum() == 70
+    assert mask.all()  # input untouched
+
+
+def test_perturb_pose_is_rigid():
+    T = np.eye(4)
+    out = faults.perturb_pose(T, 0.1, 0.05, RNG)
+    R = out[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.det(R) - 1) < 1e-5
+    assert not np.allclose(out, T)
+
+
+def test_triangulation_sampling_cli_passes():
+    r = subprocess.run(
+        [sys.executable, "-m", "svi_mapper_tpu.tools.triangulation_sampling",
+         "--cpu", "--samples", "200"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "invariants hold" in r.stdout
