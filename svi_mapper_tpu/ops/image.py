@@ -183,6 +183,75 @@ def undistort_rectify_maps(
     return map_x.astype(np.float32), map_y.astype(np.float32)
 
 
+def stereo_rectify(
+    K0: np.ndarray, dist0: np.ndarray,
+    K1: np.ndarray, dist1: np.ndarray,
+    T_10: np.ndarray,
+    width: int, height: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Compute rectifying rotations + new projections for a stereo pair
+    (Bouguet's algorithm — the ``cv::stereoRectify`` used by the reference's
+    IMU camera construction, CStereoCameraIMU.h:20-52 and
+    CParameterBase.h:169-392).
+
+    ``T_10`` maps cam0-frame points into cam1: ``x1 = R x0 + t``. Returns
+    ``(R_rect0, R_rect1, P0, P1)`` with a shared rectified K (averaged
+    focal/principal point) and ``P1[0,3] = fx * t_rect_x`` — negative when
+    cam0 is the left camera, matching the framework's ``P_R[0,3] = -fx b``
+    disparity convention (Types.h:48-51).
+    """
+    R = np.asarray(T_10[:3, :3], np.float64)
+    t = np.asarray(T_10[:3, 3], np.float64)
+    # split the relative rotation evenly between the two cameras:
+    # R_rect0 = B exp(+om/2), R_rect1 = B exp(-om/2)  =>  R_rect1 R = R_rect0
+    # rotation vector via log map
+    cos_th = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(cos_th)
+    if th < 1e-12:
+        om = np.zeros(3)
+    else:
+        om = th / (2.0 * np.sin(th)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+
+    def _exp(v):
+        a = np.linalg.norm(v)
+        if a < 1e-12:
+            return np.eye(3)
+        k = v / a
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * (Kx @ Kx)
+
+    half_p = _exp(0.5 * om)
+    half_m = _exp(-0.5 * om)
+    t_half = half_m @ t                     # translation seen from the midframe
+    # baseline-aligned common orientation: rows e1 (baseline), e2, e3.
+    # e1 follows the sign of the dominant horizontal component so the
+    # rectified x-axis keeps pointing right and a left-camera cam0 yields
+    # t_rect_x = -baseline (cv::stereoRectify's uu-sign choice)
+    sign = -1.0 if t_half[0] < 0 else 1.0
+    e1 = sign * t_half / max(np.linalg.norm(t_half), 1e-12)
+    nxy = np.hypot(e1[0], e1[1])
+    if nxy < 1e-9:
+        e2 = np.array([1.0, 0.0, 0.0])      # degenerate: baseline along z
+    else:
+        e2 = np.array([-e1[1], e1[0], 0.0]) / nxy
+    e3 = np.cross(e1, e2)
+    B = np.stack([e1, e2, e3])
+    R_rect0 = B @ half_p
+    R_rect1 = B @ half_m
+
+    fx = 0.5 * (K0[0, 0] + K1[0, 0])
+    fy = 0.5 * (K0[1, 1] + K1[1, 1])
+    cx = 0.5 * (K0[0, 2] + K1[0, 2])
+    cy = 0.5 * (K0[1, 2] + K1[1, 2])
+    K_new = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    t_rect = R_rect1 @ t                    # == B @ t_half = [±|t|, 0, 0]
+    P0 = np.hstack([K_new, np.zeros((3, 1))])
+    P1 = np.hstack([K_new, np.zeros((3, 1))])
+    P1[0, 3] = fx * t_rect[0]
+    return R_rect0, R_rect1, P0, P1
+
+
 def pad_to_multiple(img: jax.Array, multiple: int = 128) -> jax.Array:
     """Pad an image up to tile-aligned dimensions (TPU lane alignment)."""
     h, w = img.shape
