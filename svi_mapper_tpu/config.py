@@ -69,14 +69,35 @@ class CameraCalibration:
 
 
 def load_camera_calibration(path: str | Path) -> CameraCalibration:
-    """Parse one calibration text file (ref CParameterBase.h:169-392)."""
-    tokens = _tokenize(Path(path).read_text())
-    width = int(_get_scalar(tokens, "uWidthPixels"))
-    height = int(_get_scalar(tokens, "uHeightPixels"))
-    K = _get_vector(tokens, "matIntrinsic", 9).reshape(3, 3)
-    dist = _get_vector(tokens, "vecDistortionCoefficients", 4)
-    R_rect = _get_vector(tokens, "matRectification", 9).reshape(3, 3)
-    P = _get_vector(tokens, "matProjection", 12).reshape(3, 4)
+    """Parse one calibration text file (ref CParameterBase.h:169-392).
+
+    Raises :class:`svi_mapper_tpu.utils.errors.ParameterError` on missing or
+    malformed required fields (the reference throws CExceptionParameter)."""
+    from svi_mapper_tpu.utils.errors import ParameterError
+
+    try:
+        tokens = _tokenize(Path(path).read_text())
+    except OSError as e:
+        raise ParameterError(f"cannot read calibration file {path}: {e}") from e
+    required = ("uWidthPixels", "uHeightPixels", "vecDistortionCoefficients",
+                "matProjection")
+    missing = [k for k in required if k not in tokens]
+    if missing:
+        raise ParameterError(
+            f"calibration file {path} is missing required fields: {missing}")
+    try:
+        width = int(_get_scalar(tokens, "uWidthPixels"))
+        height = int(_get_scalar(tokens, "uHeightPixels"))
+        K = _get_vector(tokens, "matIntrinsic", 9,
+                        default=np.zeros(9)).reshape(3, 3)
+        dist = _get_vector(tokens, "vecDistortionCoefficients", 4)
+        R_rect = _get_vector(tokens, "matRectification", 9,
+                             default=np.zeros(9)).reshape(3, 3)
+        P = _get_vector(tokens, "matProjection", 12).reshape(3, 4)
+    except (ValueError, IndexError) as e:
+        raise ParameterError(f"malformed calibration file {path}: {e}") from e
+    if P.shape != (3, 4) or len(dist) != 4:
+        raise ParameterError(f"malformed calibration file {path}")
     q = _get_vector(tokens, "vecQuaternionToIMU", 4)
     t = _get_vector(tokens, "vecTranslationToIMU", 3)
     R_i = _get_vector(tokens, "matRotationIntrinsicCAMERAtoIMU", 9)

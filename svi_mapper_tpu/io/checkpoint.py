@@ -56,6 +56,9 @@ def save_checkpoint(path: str | Path, tracker) -> None:
     """
     from svi_mapper_tpu.models.slam import SLAMSystem
 
+    if hasattr(tracker, "flush_closures"):
+        tracker.flush_closures(block=True)   # async searches must land first
+
     arrays: dict[str, np.ndarray] = {}
     state = tracker.state
     for f in _STATE_FIELDS:
@@ -100,6 +103,7 @@ def save_checkpoint(path: str | Path, tracker) -> None:
             "db_capacity": tracker.db.capacity,
             "db_pool_size": tracker.db.pool_size,
             "db_native_index": tracker.db.index is not None,
+            "async_closure": tracker._closure_pool is not None,
         }
         if kfs:
             arrays["kf__T_wc"] = np.stack([k.T_wc for k in kfs])
@@ -175,6 +179,7 @@ def load_checkpoint(path: str | Path):
             consensus_window=s["consensus_window"],
             max_keyframes=s["db_capacity"], pool_size=s["db_pool_size"],
             native_index=s["db_native_index"],
+            async_closure=s.get("async_closure", False),
         )
         tracker.stats = s["stats"]
     else:

@@ -67,7 +67,10 @@ def load_cloud(path: str | Path) -> KeyframeCloud:
     with np.load(path) as z:
         version = int(z["format_version"])
         if version > FORMAT_VERSION:
-            raise ValueError(f"cloud file {path} has unsupported version {version}")
+            from svi_mapper_tpu.utils.errors import InvalidFileError
+
+            raise InvalidFileError(
+                f"cloud file {path} has unsupported version {version}")
         return KeyframeCloud(
             keyframe_id=int(z["keyframe_id"]),
             frame_idx=int(z["frame_idx"]),

@@ -98,6 +98,13 @@ class KeyframeDatabase:
             self.index.add(d[:n], k)
         return k
 
+    def snapshot(self) -> "KeyframeDatabase":
+        """Shallow copy for a reader thread: the device arrays are immutable
+        jax values (later ``add`` calls rebind, never mutate), and the shared
+        native index is internally locked — so a snapshot reads consistently
+        while the tracker keeps appending."""
+        return dataclasses.replace(self)
+
 
 # ---------------------------------------------------------------------------
 # place recognition: batched pool scoring

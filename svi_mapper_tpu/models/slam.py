@@ -68,6 +68,7 @@ class SLAMSystem(StereoTracker):
         max_keyframes: int = 512,
         pool_size: int = 256,
         native_index: bool = False,
+        async_closure: bool = False,
     ):
         super().__init__(cam, params, use_gt_pose=use_gt_pose)
         self.enable_loop_closure = enable_loop_closure
@@ -83,6 +84,19 @@ class SLAMSystem(StereoTracker):
         self.accepted_closures: list[ClosureEdge] = []
         self.stats = {"closures_found": 0, "closures_accepted": 0, "ba_runs": 0,
                       "pose_graph_runs": 0}
+        # async loop closure: the reference searches closures INLINE in the
+        # frame loop (CTrackerGT.cpp:257); here the search (BoW-analog pool
+        # scoring + ICP validation — the expensive, read-only part) runs on
+        # a worker thread over an immutable database snapshot, and results
+        # are folded in at the next keyframe boundary (SURVEY.md §7 "loop
+        # closure runs async to avoid stalling tracking")
+        self._closure_pool = None
+        self._pending_closures: list = []
+        if async_closure:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._closure_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="loop-closure")
 
     # ------------------------------------------------------------------
     def process(self, img_left, img_right, T_gt=None):
@@ -137,9 +151,10 @@ class SLAMSystem(StereoTracker):
         self.trajectory[-1] = np.asarray(self.state.T_wc)
 
     # ------------------------------------------------------------------
-    def _detect_closures(self, kf: SLAMKeyframe) -> None:
-        found = closure_mod.find_closures(
-            self.db, kf.index,
+    def _find_closures(self, db: closure_mod.KeyframeDatabase, kf_index: int):
+        """Pure search stage (runs on the worker thread in async mode)."""
+        return closure_mod.find_closures(
+            db, kf_index,
             min_matches=self.params.closure_min_matches,
             min_relative=self.params.closure_min_relative_matches,
             hamming_cutoff=self.params.closure_hamming_cutoff,
@@ -149,6 +164,35 @@ class SLAMSystem(StereoTracker):
                 max_avg_error=self.params.closure_icp_max_error,
             ),
         )
+
+    def _detect_closures(self, kf: SLAMKeyframe) -> None:
+        if self._closure_pool is not None:
+            # fold in whatever earlier searches have finished, then kick off
+            # this keyframe's search on the worker over a snapshot
+            self.flush_closures(block=False)
+            snap = self.db.snapshot()
+            self._pending_closures.append(
+                (kf.index, self._closure_pool.submit(
+                    self._find_closures, snap, kf.index)))
+            return
+        self._apply_found_closures(self._find_closures(self.db, kf.index),
+                                   kf.index)
+
+    def flush_closures(self, block: bool = True) -> None:
+        """Fold finished async closure searches into the graph; with
+        ``block=True`` wait for all pending ones first (call before reading
+        final results or checkpointing)."""
+        if self._closure_pool is None:
+            return
+        still = []
+        for (idx, fut) in self._pending_closures:
+            if fut.done() or block:
+                self._apply_found_closures(fut.result(), idx)
+            else:
+                still.append((idx, fut))
+        self._pending_closures = still
+
+    def _apply_found_closures(self, found, kf_index: int) -> None:
         self.stats["closures_found"] += len(found)
         for c in found:
             self.closure_candidates.append(
@@ -158,7 +202,7 @@ class SLAMSystem(StereoTracker):
         # (ref ClosureBuffer + LoopClosureChecker, Cg2oOptimizer.cpp:267-325)
         window = [
             c for c in self.closure_candidates
-            if c.query_kf >= kf.index - self.consensus_window and not c.accepted
+            if c.query_kf >= kf_index - self.consensus_window and not c.accepted
         ]
         if not window:
             return
@@ -373,6 +417,7 @@ class SLAMSystem(StereoTracker):
         """Per-frame trajectory with keyframe corrections interpolated:
         each frame's raw VO pose is corrected by its most recent keyframe's
         accumulated optimization delta."""
+        self.flush_closures(block=True)   # no-op in synchronous mode
         raw = self.trajectory_array
         if not self.slam_keyframes:
             return raw

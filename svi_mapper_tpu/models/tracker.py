@@ -44,15 +44,18 @@ class StereoTracker:
         params: TrackingParams = DEFAULT_PARAMS,
         use_gt_pose: bool = False,
         landmark_opt_every: int = 1,
+        raise_on_track_lost: bool = False,
     ):
         self.cam = cam
         self.params = params
         self.use_gt_pose = use_gt_pose
         self.landmark_opt_every = max(1, landmark_opt_every)
+        self.raise_on_track_lost = raise_on_track_lost
         self.state = frame_mod.init_state(params)
         self.trajectory: list[np.ndarray] = []
         self.keyframes: list[KeyframeRecord] = []
         self.outputs: list[frame_mod.FrameOutput] = []
+        self.track_lost_events: list[int] = []   # frame indices
         self.frame_count = 0
         self.timings: dict[str, float] = {"frame_total": 0.0}
 
@@ -77,6 +80,18 @@ class StereoTracker:
         self.timings["frame_total"] += time.perf_counter() - t0
         self.frame_count += 1
         self.trajectory.append(np.asarray(out.T_wc))
+        # lost-track detection: >75 % of the previously-visible landmark set
+        # gone this frame (ref CTrackerSV.cpp:338-349)
+        if self.outputs:
+            prev_active = int(self.outputs[-1].n_active)
+            if prev_active >= 20 and int(out.n_tracked) < 0.25 * prev_active:
+                self.track_lost_events.append(self.frame_count - 1)
+                if self.raise_on_track_lost:
+                    from svi_mapper_tpu.utils.errors import TrackLostError
+
+                    raise TrackLostError(
+                        f"frame {self.frame_count - 1}: tracked "
+                        f"{int(out.n_tracked)} of {prev_active} landmarks")
         self.outputs.append(out)
         if bool(out.is_keyframe):
             self._spawn_keyframe(out)

@@ -127,23 +127,30 @@ class DescriptorIndex:
     """
 
     def __init__(self, max_depth: int = 64, max_leaf_size: int = 128):
+        import threading
+
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native library unavailable: {_load_error}")
         self._lib = lib
         self._h = lib.svi_index_create(max_depth, max_leaf_size)
+        # add/query may come from different threads (async loop closure
+        # queries on a worker while the tracker keeps adding keyframes)
+        self._lock = threading.Lock()
 
     def add(self, desc: np.ndarray, keyframe_id: int) -> None:
         w = _to_words(desc)
-        self._lib.svi_index_add(self._h, w, len(w), keyframe_id)
+        with self._lock:
+            self._lib.svi_index_add(self._h, w, len(w), keyframe_id)
 
     def query(self, desc: np.ndarray, cutoff: int = 25) -> np.ndarray:
         """[n_keyframes] int32 vote counts."""
-        nk = self._lib.svi_index_n_keyframes(self._h)
-        votes = np.zeros(max(int(nk), 1), np.int32)
         w = _to_words(desc)
-        if len(w) and nk:
-            self._lib.svi_index_query(self._h, w, len(w), cutoff, votes)
+        with self._lock:
+            nk = self._lib.svi_index_n_keyframes(self._h)
+            votes = np.zeros(max(int(nk), 1), np.int32)
+            if len(w) and nk:
+                self._lib.svi_index_query(self._h, w, len(w), cutoff, votes)
         return votes[:nk]
 
     @property
