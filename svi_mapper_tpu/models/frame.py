@@ -246,3 +246,49 @@ def process_frame(
         inliers=inliers,
     )
     return new_state, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "use_gt_pose", "landmark_opt_every")
+)
+def process_chunk(
+    state: FrameState,
+    imgs_left: jax.Array,       # [N, H, W] float32 — staged frame chunk
+    imgs_right: jax.Array,
+    cam: StereoCamera,
+    params: TrackingParams,
+    T_gt: jax.Array | None = None,   # [N,4,4] GT poses (GT mode only)
+    *,
+    use_gt_pose: bool = False,
+    landmark_opt_every: int = 1,
+) -> tuple[FrameState, FrameOutput]:
+    """Throughput mode: ``lax.scan`` the frame step over a staged chunk.
+
+    One dispatch + one compiled program processes N frames back-to-back on
+    device — dispatch latency and host sync amortize over the chunk, and
+    XLA overlaps the per-frame programs' memory traffic. Numerically
+    IDENTICAL to N sequential :func:`process_frame` calls (the scan body is
+    the same traced computation); the landmark-opt cadence is computed from
+    the carried ``frame_idx`` so cadence survives chunk boundaries.
+
+    Keyframe/loop-closure events surface in the stacked FrameOutput; host
+    code handles them after each chunk (the offline/throughput analog of the
+    reference's per-frame dataset playback, tracker_gt.cpp:182-268).
+    """
+    every = max(1, landmark_opt_every)
+
+    def step(carry, inp):
+        l, r, T = inp
+        do_opt = (carry.frame_idx % every) == 0
+        return process_frame(
+            carry, l, r, cam, params, T,
+            use_gt_pose=use_gt_pose,
+            do_landmark_opt=do_opt,
+        )
+
+    n = imgs_left.shape[0]
+    if T_gt is None:
+        T_feed = jnp.zeros((n, 4, 4), jnp.float32)   # unused (not GT mode)
+    else:
+        T_feed = T_gt
+    return jax.lax.scan(step, state, (imgs_left, imgs_right, T_feed))

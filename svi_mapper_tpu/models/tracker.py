@@ -97,6 +97,42 @@ class StereoTracker:
             self._spawn_keyframe(out)
         return out
 
+    def process_many(self, imgs_left, imgs_right, T_gt=None,
+                     chunk: int = 16) -> list[frame_mod.FrameOutput]:
+        """Throughput mode: process a staged frame batch in ``lax.scan``
+        chunks (one dispatch per chunk, numerically identical stepping —
+        models.frame.process_chunk). Keyframe snapshots are taken at chunk
+        boundaries, so in this mode a keyframe's landmark cloud reflects the
+        table at the END of its chunk; use chunk=1 (or ``process``) when
+        per-frame keyframe snapshotting matters."""
+        import jax.numpy as jnp
+
+        L = jnp.asarray(imgs_left, jnp.float32)
+        R = jnp.asarray(imgs_right, jnp.float32)
+        n = L.shape[0]
+        outs: list[frame_mod.FrameOutput] = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            t0 = time.perf_counter()
+            T_sl = None if T_gt is None else jnp.asarray(
+                T_gt[s:e], jnp.float32)
+            self.state, stacked = frame_mod.process_chunk(
+                self.state, L[s:e], R[s:e], self.cam, self.params, T_sl,
+                use_gt_pose=self.use_gt_pose,
+                landmark_opt_every=self.landmark_opt_every,
+            )
+            stacked.T_wc.block_until_ready()
+            self.timings["frame_total"] += time.perf_counter() - t0
+            for i in range(e - s):
+                out = jax.tree_util.tree_map(lambda x: x[i], stacked)
+                self.frame_count += 1
+                self.trajectory.append(np.asarray(out.T_wc))
+                self.outputs.append(out)
+                outs.append(out)
+                if bool(out.is_keyframe):
+                    self._spawn_keyframe(out)
+        return outs
+
     def _spawn_keyframe(self, out) -> None:
         """Snapshot visible optimal landmarks (ref keyframe = cloud of
         visible optimal landmarks, CTrackerGT.cpp:222-250)."""

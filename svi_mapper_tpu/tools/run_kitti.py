@@ -22,6 +22,11 @@ def main() -> None:
     ap.add_argument("--save", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--landmarks", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="throughput mode: scan-process in chunks of N "
+                         "frames (one device dispatch per chunk)")
+    ap.add_argument("--log-dir", default="",
+                    help="write the CLogger-family text logs here")
     args = ap.parse_args()
 
     import jax
@@ -51,19 +56,45 @@ def main() -> None:
     cls = SLAMSystem if args.slam else StereoTracker
     tracker = cls(seq.cam, params, use_gt_pose=args.gt)
 
+    logger = None
+    if args.log_dir:
+        from svi_mapper_tpu.utils import loggers
+
+        logger = loggers.attach(tracker, args.log_dir)
+
     n = seq.n_frames if args.frames == 0 else min(args.frames, seq.n_frames)
     timer = StageTimer()
     t0 = time.perf_counter()
-    for i in range(n):
-        with timer.stage("io"):
-            L, R, T_gt = seq.frame(i)
-        with timer.stage("track"):
-            out = tracker.process(L, R, T_gt=T_gt if args.gt else None)
-        if i % 50 == 0:
-            print(f"[{i:05d}] tracked={int(out.n_tracked):4d} "
+    if args.chunk > 1:
+        import numpy as np
+
+        for s in range(0, n, args.chunk):
+            e = min(s + args.chunk, n)
+            with timer.stage("io"):
+                frames = [seq.frame(i) for i in range(s, e)]
+                L = np.stack([f[0] for f in frames])
+                R = np.stack([f[1] for f in frames])
+                T = (np.stack([f[2] for f in frames]) if args.gt else None)
+            with timer.stage("track"):
+                outs = tracker.process_many(L, R, T_gt=T, chunk=args.chunk)
+            out = outs[-1]
+            print(f"[{e - 1:05d}] tracked={int(out.n_tracked):4d} "
                   f"optimal={int(out.n_optimal):4d} ok={int(bool(out.posit_ok))}")
+    else:
+        for i in range(n):
+            with timer.stage("io"):
+                L, R, T_gt = seq.frame(i)
+            with timer.stage("track"):
+                out = tracker.process(L, R, T_gt=T_gt if args.gt else None)
+            if i % 50 == 0:
+                print(f"[{i:05d}] tracked={int(out.n_tracked):4d} "
+                      f"optimal={int(out.n_optimal):4d} ok={int(bool(out.posit_ok))}")
     wall = time.perf_counter() - t0
     print(timer.report(n, wall))
+    if logger is not None:
+        from svi_mapper_tpu.utils import loggers
+
+        loggers.finalize(tracker, logger)
 
     if seq.poses_wc is not None:
         m = ev.evaluate(tracker.trajectory_array, seq.poses_wc[:n])

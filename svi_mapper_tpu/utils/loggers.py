@@ -108,10 +108,9 @@ def attach(tracker, log_dir: str | Path) -> RunLogger:
     logger (call ``finalize(tracker, logger)`` or use as a context)."""
     logger = RunLogger(log_dir)
     orig = tracker.process
+    orig_many = getattr(tracker, "process_many", None)
 
-    def process(*args, **kwargs):
-        out = orig(*args, **kwargs)
-        idx = tracker.frame_count - 1
+    def _log_one(idx: int, out) -> None:
         logger.frame(idx, out)
         logger.trajectory_pose(idx, np.asarray(out.T_wc))
         if int(out.n_new):
@@ -119,9 +118,22 @@ def attach(tracker, log_dir: str | Path) -> RunLogger:
                                      int(tracker.state.next_uid))
         logger.epipolar(idx, int(out.n_tracked),
                         int(out.n_active) - int(out.n_tracked))
+
+    def process(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        _log_one(tracker.frame_count - 1, out)
         return out
 
+    def process_many(*args, **kwargs):
+        outs = orig_many(*args, **kwargs)
+        base = tracker.frame_count - len(outs)
+        for i, out in enumerate(outs):
+            _log_one(base + i, out)
+        return outs
+
     tracker.process = process
+    if orig_many is not None:
+        tracker.process_many = process_many
     return logger
 
 
