@@ -75,9 +75,13 @@ def save_checkpoint(path: str | Path, tracker) -> None:
         for f in _CAM_FIELDS:
             arrays[f"cam__{eye}__{f}"] = np.asarray(getattr(c, f))
 
+    from svi_mapper_tpu.models.svi import StereoInertialTracker
+
+    kind = ("svi" if isinstance(tracker, StereoInertialTracker)
+            else "slam" if isinstance(tracker, SLAMSystem) else "tracker")
     meta = {
         "version": CHECKPOINT_VERSION,
-        "kind": "slam" if isinstance(tracker, SLAMSystem) else "tracker",
+        "kind": kind,
         "params": dataclasses.asdict(tracker.params),
         "use_gt_pose": tracker.use_gt_pose,
         "landmark_opt_every": tracker.landmark_opt_every,
@@ -124,6 +128,24 @@ def save_checkpoint(path: str | Path, tracker) -> None:
         # keyframe database pools (device arrays -> host)
         for f in ("desc", "p_cam", "valid", "count", "T_wc"):
             arrays[f"db__{f}"] = np.asarray(getattr(tracker.db, f))
+        if kind == "svi":
+            meta["svi"] = {
+                "equalize": tracker.equalize,
+                "gravity_weight": tracker.gravity_weight,
+                "calib_n_samples": tracker.calib.n_samples,
+                "has_rectify_maps": tracker.rectify_maps is not None,
+            }
+            arrays["svi__velocity"] = np.asarray(tracker.velocity)
+            arrays["svi__T_cam_imu"] = np.asarray(tracker.T_cam_imu)
+            if tracker.gravity_obs:
+                arrays["svi__gravity_obs"] = np.stack(tracker.gravity_obs)
+            for f in ("R_imu_to_world", "bias_gyro", "bias_accel",
+                      "noise_gyro", "noise_accel"):
+                arrays[f"svi__calib__{f}"] = np.asarray(
+                    getattr(tracker.calib, f))
+            if tracker.rectify_maps is not None:
+                for k, m in enumerate(tracker.rectify_maps):
+                    arrays[f"svi__rmap__{k}"] = np.asarray(m)
     else:
         kfs = tracker.keyframes
         meta["kf_index"] = [k.index for k in kfs]
@@ -168,11 +190,10 @@ def load_checkpoint(path: str | Path):
         )
     cam = StereoCamera(left=eyes["left"], right=eyes["right"])
 
-    is_slam = meta["kind"] == "slam"
+    is_slam = meta["kind"] in ("slam", "svi")
     if is_slam:
         s = meta["slam"]
-        tracker = SLAMSystem(
-            cam, params, use_gt_pose=meta["use_gt_pose"],
+        slam_kwargs = dict(
             enable_loop_closure=s["enable_loop_closure"],
             enable_local_ba=s["enable_local_ba"],
             ba_window=s["ba_window"], ba_max_points=s["ba_max_points"],
@@ -181,6 +202,31 @@ def load_checkpoint(path: str | Path):
             native_index=s["db_native_index"],
             async_closure=s.get("async_closure", False),
         )
+        if meta["kind"] == "svi":
+            from svi_mapper_tpu.imu.interpolator import ImuCalibration
+            from svi_mapper_tpu.models.svi import StereoInertialTracker
+
+            sv = meta["svi"]
+            calib = ImuCalibration(
+                **{f: arrays[f"svi__calib__{f}"]
+                   for f in ("R_imu_to_world", "bias_gyro", "bias_accel",
+                             "noise_gyro", "noise_accel")},
+                n_samples=sv["calib_n_samples"],
+            )
+            rmaps = None
+            if sv["has_rectify_maps"]:
+                rmaps = tuple(arrays[f"svi__rmap__{k}"] for k in range(4))
+            tracker = StereoInertialTracker(
+                cam, calib, params, rectify_maps=rmaps,
+                equalize=sv["equalize"],
+                gravity_weight=sv["gravity_weight"],
+                T_cam_imu=arrays.get("svi__T_cam_imu"), **slam_kwargs)
+            tracker.velocity = arrays["svi__velocity"].astype(np.float32)
+            if "svi__gravity_obs" in arrays:
+                tracker.gravity_obs = list(arrays["svi__gravity_obs"])
+        else:
+            tracker = SLAMSystem(cam, params, use_gt_pose=meta["use_gt_pose"],
+                                 **slam_kwargs)
         tracker.stats = s["stats"]
     else:
         tracker = StereoTracker(cam, params, use_gt_pose=meta["use_gt_pose"],

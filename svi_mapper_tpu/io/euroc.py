@@ -127,6 +127,16 @@ class EurocSequence:
                     root / "cam1" / "data" / rows1[j][1],
                 ))
 
+        # camera<->IMU extrinsics: T_cam_imu = inv(T_BS_cam0) @ T_BS_imu
+        # (ref vi_sensor IMU extrinsics, CPinholeCameraIMU.h:17-60)
+        T_BS_imu = np.eye(4)
+        imu_yaml = root / "imu0" / "sensor.yaml"
+        if imu_yaml.exists():
+            y = _load_sensor_yaml(imu_yaml)
+            if isinstance(y, dict) and "T_BS" in y:
+                T_BS_imu = np.asarray(y["T_BS"]["data"], np.float64).reshape(4, 4)
+        self.T_cam_imu = np.linalg.inv(self.cam0.T_BS) @ T_BS_imu
+
         # IMU stream
         imu_rows = _read_data_csv(root / "imu0" / "data.csv")
         self.imu = np.asarray(

@@ -69,6 +69,7 @@ class SLAMSystem(StereoTracker):
         pool_size: int = 256,
         native_index: bool = False,
         async_closure: bool = False,
+        graph_snapshot_dir: str | None = None,
     ):
         super().__init__(cam, params, use_gt_pose=use_gt_pose)
         self.enable_loop_closure = enable_loop_closure
@@ -90,6 +91,9 @@ class SLAMSystem(StereoTracker):
         # a worker thread over an immutable database snapshot, and results
         # are folded in at the next keyframe boundary (SURVEY.md §7 "loop
         # closure runs async to avoid stalling tracking")
+        # per-optimization g2o snapshots (ref keyframes_*-*.g2o,
+        # Cg2oOptimizer.cpp:493-514)
+        self.graph_snapshot_dir = graph_snapshot_dir
         self._closure_pool = None
         self._pending_closures: list = []
         if async_closure:
@@ -231,7 +235,22 @@ class SLAMSystem(StereoTracker):
         if newly:
             self.accepted_closures.extend(newly)
             self.stats["closures_accepted"] += len(newly)
+            self._snapshot_graph("pre")
             self._optimize_pose_graph()
+            self._snapshot_graph("post")
+
+    def _snapshot_graph(self, tag: str) -> None:
+        """g2o snapshot around each optimization (ref Cg2oOptimizer.cpp:493-514)."""
+        if not self.graph_snapshot_dir or not self.slam_keyframes:
+            return
+        from pathlib import Path
+
+        from svi_mapper_tpu.io.g2o_export import snapshot_slam
+
+        d = Path(self.graph_snapshot_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        n = len(self.slam_keyframes)
+        snapshot_slam(self, d / f"keyframes_0-{n - 1}_{tag}.g2o")
 
     # ------------------------------------------------------------------
     def _optimize_pose_graph(self) -> None:

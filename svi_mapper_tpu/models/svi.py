@@ -39,10 +39,18 @@ class StereoInertialTracker(SLAMSystem):
         rectify_maps: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None,
         equalize: bool = True,
         gravity_weight: float = 10.0,
+        T_cam_imu: np.ndarray | None = None,
         **kwargs,
     ):
         super().__init__(cam, params, use_gt_pose=False, **kwargs)
         self.calib = calibration
+        # camera<->IMU extrinsics (ref CPinholeCameraIMU.h:17-60 /
+        # vi_sensor_camera_left.txt:17-23): IMU-frame rates/accelerations
+        # rotate into the LEFT camera frame before integration. Identity by
+        # default (IMU aligned with the camera).
+        self.T_cam_imu = (np.eye(4, dtype=np.float32) if T_cam_imu is None
+                          else np.asarray(T_cam_imu, np.float32))
+        self._R_ci = jnp.asarray(self.T_cam_imu[:3, :3])
         self.rectify_maps = None
         if rectify_maps is not None:
             self.rectify_maps = tuple(jnp.asarray(m) for m in rectify_maps)
@@ -70,12 +78,15 @@ class StereoInertialTracker(SLAMSystem):
             L = remap_bilinear(L, mlx, mly)
             R = remap_bilinear(R, mrx, mry)
 
-        # IMU prior (ref CTrackerSVI.cpp:354-399)
+        # IMU prior (ref CTrackerSVI.cpp:354-399); measurements rotate from
+        # the IMU frame into the camera frame through the rig extrinsics
         T = jnp.asarray(self.state.T_wc)
         w = jnp.asarray(omega, jnp.float32) - jnp.asarray(self.calib.bias_gyro, jnp.float32)
+        w = self._R_ci @ w
+        a_imu = jnp.asarray(accel, jnp.float32)
         a = imu_mod.gravity_filtered_accel(
-            jnp.asarray(accel, jnp.float32), T[:3, :3],
-            jnp.asarray(self.calib.bias_accel, jnp.float32),
+            self._R_ci @ a_imu, T[:3, :3],
+            self._R_ci @ jnp.asarray(self.calib.bias_accel, jnp.float32),
         )
         T_prior = imu_mod.integrate_prior(
             T, w, a, jnp.asarray(self.velocity), jnp.asarray(dt, jnp.float32)

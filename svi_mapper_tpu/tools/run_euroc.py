@@ -46,6 +46,7 @@ def main() -> None:
     tracker = StereoInertialTracker(
         seq.cam, calib,
         rectify_maps=seq.rectify_maps,
+        T_cam_imu=seq.T_cam_imu,
         enable_loop_closure=not args.no_loop_closure,
     )
     n_max = args.frames or seq.n_frames

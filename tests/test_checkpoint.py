@@ -72,6 +72,54 @@ def test_checkpoint_roundtrip_and_resume(tmp_path, kind):
                        atol=1e-5)
 
 
+def test_checkpoint_svi_roundtrip(tmp_path):
+    """The SVI tracker's IMU state (calibration, velocity, gravity obs,
+    rectify maps) survives checkpoint/resume."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_euroc import _write_mini_euroc
+
+    from svi_mapper_tpu.imu import interpolator as imu_mod
+    from svi_mapper_tpu.io.euroc import EurocSequence
+    from svi_mapper_tpu.models.svi import StereoInertialTracker
+
+    _write_mini_euroc(tmp_path / "ds")
+    seq = EurocSequence(tmp_path / "ds")
+    static = seq.static_imu_window(0.3)
+    calib = imu_mod.calibrate(static[:, 1:4], static[:, 4:7])
+    tr = StereoInertialTracker(seq.cam, calib, PARAMS,
+                               rectify_maps=seq.rectify_maps,
+                               enable_loop_closure=False,
+                               enable_local_ba=False)
+    prev_t = None
+    for (t, L, R, imu) in seq:
+        dt = (t - prev_t) if prev_t is not None else 0.05
+        prev_t = t
+        om = imu[:, 1:4].mean(0) if len(imu) else np.zeros(3)
+        ac = imu[:, 4:7].mean(0) if len(imu) else np.zeros(3)
+        tr.process_imu(L, R, om, ac, dt)
+    tr.gravity_obs.append(np.array([0, -1, 0], np.float32))
+
+    path = tmp_path / "svi.npz"
+    save_checkpoint(path, tr)
+    tr2 = load_checkpoint(path)
+    assert type(tr2).__name__ == "StereoInertialTracker"
+    assert np.allclose(tr2.velocity, tr.velocity)
+    assert np.allclose(tr2.calib.bias_gyro, tr.calib.bias_gyro)
+    assert np.allclose(tr2.calib.R_imu_to_world, tr.calib.R_imu_to_world)
+    assert len(tr2.gravity_obs) == len(tr.gravity_obs)
+    assert tr2.rectify_maps is not None
+    assert np.allclose(np.asarray(tr2.rectify_maps[0]),
+                       np.asarray(tr.rectify_maps[0]))
+    _state_equal(tr.state, tr2.state)
+    # resumed tracker keeps processing
+    tr2.process_imu(np.zeros((48, 64), np.float32),
+                    np.zeros((48, 64), np.float32),
+                    np.zeros(3), np.zeros(3), 0.05)
+    assert tr2.frame_count == tr.frame_count + 1
+
+
 def test_checkpoint_rejects_future_version(tmp_path):
     seq = SyntheticSequence(n_frames=2, width=128, height=96)
     tr = StereoTracker(seq.cam, PARAMS)
