@@ -55,16 +55,23 @@ class KeyframeDatabase:
     T_wc: jax.Array        # [K, 4, 4] keyframe poses at spawn
     n: int = 0             # number of keyframes stored
     index: object | None = None  # optional native DescriptorIndex
+    bow: object | None = None    # optional mapping.vocabulary.BowDatabase
 
     @classmethod
     def create(cls, capacity: int = 512, pool_size: int = 256,
-               native_index: bool = False) -> "KeyframeDatabase":
+               native_index: bool = False,
+               vocabulary: object | None = None) -> "KeyframeDatabase":
         index = None
         if native_index:
             from svi_mapper_tpu import native
 
             if native.available():
                 index = native.DescriptorIndex()
+        bow = None
+        if vocabulary is not None:
+            from svi_mapper_tpu.mapping.vocabulary import BowDatabase
+
+            bow = BowDatabase(vocabulary, capacity=capacity)
         return cls(
             capacity=capacity,
             pool_size=pool_size,
@@ -74,6 +81,7 @@ class KeyframeDatabase:
             count=jnp.zeros((capacity,), jnp.int32),
             T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)).copy(),
             index=index,
+            bow=bow,
         )
 
     def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray) -> int:
@@ -96,6 +104,8 @@ class KeyframeDatabase:
         self.n = k + 1
         if self.index is not None:
             self.index.add(d[:n], k)
+        if self.bow is not None:
+            self.bow.add(d[:n])
         return k
 
     def snapshot(self) -> "KeyframeDatabase":
@@ -126,6 +136,21 @@ def score_pools(
     dmin = jnp.min(d, axis=-1)                                     # [P,K]
     hit = (dmin <= cutoff) & valid_q[:, None]
     return jnp.sum(hit.astype(jnp.int32), axis=0)                  # [K]
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def count_pool_matches(
+    desc_q: jax.Array, valid_q: jax.Array,
+    desc_r: jax.Array, valid_r: jax.Array,
+    cutoff: int = 25,
+) -> jax.Array:
+    """Scalar match count of one query pool against one reference pool
+    (single-pool slice of :func:`score_pools`)."""
+    x = desc_q[:, None, :] ^ desc_r[None, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    d = jnp.where(valid_r[None, :], d, _BIG)
+    dmin = jnp.min(d, axis=-1)
+    return jnp.sum(((dmin <= cutoff) & valid_q).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("cutoff",))
@@ -234,7 +259,25 @@ def find_closures(
     if n_q < min_matches:
         return []
 
-    if db.index is not None:
+    if db.bow is not None and db.bow.n > 0:
+        # BoW shortlist (ref DBoW2 query, CTrackerGT.cpp:411): score all
+        # stored vectors with one L1 reduction, then compute exact match
+        # counts only for the shortlisted keyframes.
+        bow_scores = db.bow.query(desc_q, valid_q)
+        bow_scores = np.pad(bow_scores, (0, db.desc.shape[0] - len(bow_scores)))
+        lo_b = max(0, query_kf - exclude_recent)
+        bow_scores[lo_b:] = 0.0
+        short = np.argsort(bow_scores)[::-1][: max(4 * max_candidates, 8)]
+        short = short[bow_scores[short] > 0.0]
+        scores = np.zeros(db.desc.shape[0], np.int32)
+        for c in short:
+            scores[int(c)] = int(
+                count_pool_matches(
+                    desc_q, valid_q, db.desc[int(c)], db.valid[int(c)],
+                    cutoff=hamming_cutoff,
+                )
+            )
+    elif db.index is not None:
         # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
         # descriptor best-leaf vote counts per keyframe — same score
         # semantics as score_pools but sublinear in stored descriptors

@@ -96,3 +96,52 @@ def test_triangulation_sampling_cli_passes():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "invariants hold" in r.stdout
+
+
+def test_vocabulary_cli_pipeline(tmp_path):
+    """compute_descriptors -> create_vocabulary CLI chain
+    (ref compute_descriptors_holidays.cpp, create_vocabulary_dbow2.cpp)."""
+    from PIL import Image
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    base = rng.random((96, 128)).astype(np.float32)
+    # smooth so corners are sparse but present
+    k = np.ones((5, 5)) / 25.0
+    for _ in range(2):
+        base = np.pad(base, 2, mode="edge")
+        base = sum(
+            base[i:i + 96 + 0, j:j + 128] * k[i, j]
+            for i in range(5) for j in range(5)
+        )
+    base = (255 * (base - base.min()) / (base.max() - base.min())).astype(np.uint8)
+    for i in range(2):
+        Image.fromarray(np.roll(base, 5 * i, axis=1)).save(imgs / f"im{i}.png")
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "PYTHONPATH": "."}
+    desc = tmp_path / "desc.npz"
+    r = subprocess.run(
+        [sys.executable, "-m", "svi_mapper_tpu.tools.compute_descriptors",
+         str(imgs), "-o", str(desc), "--cpu", "--max-per-image", "64"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    z = np.load(desc)
+    assert z["desc"].dtype == np.uint32 and len(z["desc"]) > 16
+
+    vocab = tmp_path / "vocab.npz"
+    r = subprocess.run(
+        [sys.executable, "-m", "svi_mapper_tpu.tools.create_vocabulary",
+         str(desc), "-o", str(vocab), "--cpu", "--k", "3", "--levels", "2",
+         "--iters", "3"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    from svi_mapper_tpu.mapping.vocabulary import load_vocabulary, word_ids
+    import jax.numpy as jnp
+
+    v = load_vocabulary(vocab)
+    w = np.asarray(word_ids(v, jnp.asarray(z["desc"][:32])))
+    assert w.min() >= 0 and w.max() < v.num_words
