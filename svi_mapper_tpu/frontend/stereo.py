@@ -70,17 +70,18 @@ def match_stereo(
     # keypoint are one [D, 8] slice of the dense field (contiguous HBM reads
     # beat the equivalent point gather ~3x on TPU); reversing the span makes
     # index i correspond to disparity base + i
+    De = min(D, w)   # images narrower than the search range: clamp the span
     u_r = jnp.clip(jnp.round(uv_left[:, 0]).astype(jnp.int32), 0, w - 1)
     v_r = jnp.clip(jnp.round(uv_left[:, 1]).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(u_r - (D - 1), 0, w - D)
+    x0 = jnp.clip(u_r - (De - 1), 0, w - De)
 
     def cut(y, x):
-        return jax.lax.dynamic_slice(dense_right, (y, x, 0), (1, D, 8))
+        return jax.lax.dynamic_slice(dense_right, (y, x, 0), (1, De, 8))
 
-    cand_desc = jax.vmap(cut)(v_r, x0)[:, 0, ::-1, :]             # [K, D, 8]
-    # disparity of reversed-span index i: u = x0 + (D-1) - i, d = u_r - u
-    base = (u_r - x0 - (D - 1)).astype(uv_left.dtype)             # [K] (<= 0)
-    disps = base[:, None] + jnp.arange(D, dtype=uv_left.dtype)[None, :]  # [K, D]
+    cand_desc = jax.vmap(cut)(v_r, x0)[:, 0, ::-1, :]             # [K, De, 8]
+    # disparity of reversed-span index i: u = x0 + (De-1) - i, d = u_r - u
+    base = (u_r - x0 - (De - 1)).astype(uv_left.dtype)            # [K] (<= 0)
+    disps = base[:, None] + jnp.arange(De, dtype=uv_left.dtype)[None, :]  # [K, De]
 
     # Hamming of each candidate against its left descriptor
     x = cand_desc ^ desc_left[:, None, :]
@@ -101,10 +102,10 @@ def match_stereo(
 
     # refine disparity to sub-pixel with a 3-point parabola on the Hamming
     # profile (cheap accuracy win over the reference's integer candidates)
-    dm = jnp.take_along_axis(dist, jnp.clip(best - 1, 0, D - 1)[:, None], axis=1)[:, 0]
-    dp = jnp.take_along_axis(dist, jnp.clip(best + 1, 0, D - 1)[:, None], axis=1)[:, 0]
+    dm = jnp.take_along_axis(dist, jnp.clip(best - 1, 0, De - 1)[:, None], axis=1)[:, 0]
+    dp = jnp.take_along_axis(dist, jnp.clip(best + 1, 0, De - 1)[:, None], axis=1)[:, 0]
     denom = (dm + dp - 2 * best_dist).astype(uv_left.dtype)
-    interior = (best > 0) & (best < D - 1)
+    interior = (best > 0) & (best < De - 1)
     delta = jnp.where(
         interior & (denom > 0) & (dm < _BIG) & (dp < _BIG),
         0.5 * (dm - dp).astype(uv_left.dtype) / jnp.maximum(denom, 1e-6),

@@ -106,30 +106,51 @@ def track_landmarks(
     in_front = p_c[:, 2] > 0.05
     in_view = cam.left.in_fov(uv_pred) & in_front
 
-    cand_uv = uv_pred[:, None, :] + _OFFSETS[None, :, :]   # [L, C, 2]
-    cand_desc = brief_at(dense_left, cand_uv)              # [L, C, 8]
+    if jax.default_backend() == "tpu":
+        # Pallas band-sweep kernel: one HBM pass over the dense field,
+        # per-landmark window scoring in VMEM (ops.track_kernel). Produces
+        # bit-identical scores for in-FoV landmarks (the 28 px FoV inset
+        # guarantees candidate windows stay inside the image).
+        from svi_mapper_tpu.ops.track_kernel import BLOCK_W, track_scores
 
-    d_last = jnp.sum(
-        jax.lax.population_count(cand_desc ^ table.desc_left_last[:, None, :]),
-        axis=-1,
-    ).astype(jnp.int32)                                    # [L, C]
-    d_ref = jnp.sum(
-        jax.lax.population_count(cand_desc ^ table.desc_left_ref[:, None, :]),
-        axis=-1,
-    ).astype(jnp.int32)
+        best_score, lin, best_dist, xbase, ybase = track_scores(
+            dense_left, uv_pred, table.desc_left_last, table.desc_left_ref,
+            cutoff_s1=cutoff_s1, cutoff_s2=cutoff_s2, cutoff_ref=cutoff_ref,
+        )
+        uvs = jnp.nan_to_num(uv_pred, nan=0.0, posinf=0.0, neginf=0.0)
+        frac = uvs - jnp.round(uvs)
+        uv_l = jnp.stack(
+            [(xbase + lin % BLOCK_W).astype(uv_pred.dtype),
+             (ybase + lin // BLOCK_W).astype(uv_pred.dtype)], axis=-1
+        ) + frac
+        best_tier = jnp.clip(best_score // 1000, 0, 2)
+    else:
+        cand_uv = uv_pred[:, None, :] + _OFFSETS[None, :, :]   # [L, C, 2]
+        cand_desc = brief_at(dense_left, cand_uv)              # [L, C, 8]
 
-    tier_cutoff = jnp.where(_TIERS == 0, cutoff_s1, cutoff_s2)  # [C]
-    accept = (d_last <= tier_cutoff[None, :]) & (d_ref <= cutoff_ref)
-    score = jnp.where(accept, d_last + _TIER_BIAS[_TIERS][None, :], _BIG)
+        d_last = jnp.sum(
+            jax.lax.population_count(cand_desc ^ table.desc_left_last[:, None, :]),
+            axis=-1,
+        ).astype(jnp.int32)                                    # [L, C]
+        d_ref = jnp.sum(
+            jax.lax.population_count(cand_desc ^ table.desc_left_ref[:, None, :]),
+            axis=-1,
+        ).astype(jnp.int32)
 
-    best = jnp.argmin(score, axis=1).astype(jnp.int32)     # [L]
-    best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+        tier_cutoff = jnp.where(_TIERS == 0, cutoff_s1, cutoff_s2)  # [C]
+        accept = (d_last <= tier_cutoff[None, :]) & (d_ref <= cutoff_ref)
+        score = jnp.where(accept, d_last + _TIER_BIAS[_TIERS][None, :], _BIG)
+
+        best = jnp.argmin(score, axis=1).astype(jnp.int32)     # [L]
+        best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+        uv_l = jnp.take_along_axis(cand_uv, best[:, None, None], axis=1)[:, 0]
+        best_tier = _TIERS[best]
+        best_dist = jnp.take_along_axis(d_last, best[:, None], axis=1)[:, 0]
+
     left_ok = (best_score < _BIG) & in_view & table.active
-
-    uv_l = jnp.take_along_axis(cand_uv, best[:, None, None], axis=1)[:, 0]  # [L,2]
-    desc_new = jnp.take_along_axis(cand_desc, best[:, None, None], axis=1)[:, 0]
-    best_tier = _TIERS[best]
-    best_dist = jnp.take_along_axis(d_last, best[:, None], axis=1)[:, 0]
+    # descriptor at the matched pixel (round(uv_l) is exactly that pixel:
+    # the carried fractional part is < 0.5 by construction)
+    desc_new = brief_at(dense_left, uv_l)
 
     # right-image correspondence around the last disparity
     # (ref CTriangulator bounded search, CTriangulator.h:20-21)

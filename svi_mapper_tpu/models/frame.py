@@ -101,8 +101,13 @@ def process_frame(
 ) -> tuple[FrameState, FrameOutput]:
     """Process one stereo frame. Compiled once per image shape."""
     # --- image preprocessing + dense descriptor fields -------------------
-    dense_l = smooth_brief_dense(img_left)
-    dense_r = smooth_brief_dense(img_right)
+    # The barrier forces ONE materialization of each field: without it XLA
+    # fuses the whole shifted-comparison BRIEF computation into every
+    # downstream dynamic-slice consumer (the stereo row matcher alone takes
+    # 1024 slices -> the field would be recomputed per slice, ~6 ms/frame).
+    dense_l, dense_r = jax.lax.optimization_barrier(
+        (smooth_brief_dense(img_left), smooth_brief_dense(img_right))
+    )
 
     # --- pose prior ------------------------------------------------------
     if use_gt_pose or use_external_prior:
