@@ -101,12 +101,25 @@ def process_frame(
 ) -> tuple[FrameState, FrameOutput]:
     """Process one stereo frame. Compiled once per image shape."""
     # --- image preprocessing + dense descriptor fields -------------------
+    # Edge-extend the images to a 16-pixel-multiple width BEFORE describing:
+    # the Pallas tracking kernel needs 128-word-aligned field rows, and
+    # padding the raw image (~2 MB) is an order of magnitude cheaper than
+    # padding the 15 MB descriptor field every frame. Both backends see the
+    # same padded field, so CPU/TPU results stay in agreement; detection
+    # still runs on the unpadded image.
+    wp = -(-img_left.shape[1] // 16) * 16
+    if wp != img_left.shape[1]:
+        ext = ((0, 0), (0, wp - img_left.shape[1]))
+        img_l_ext = jnp.pad(img_left, ext, mode="edge")
+        img_r_ext = jnp.pad(img_right, ext, mode="edge")
+    else:
+        img_l_ext, img_r_ext = img_left, img_right
     # The barrier forces ONE materialization of each field: without it XLA
     # fuses the whole shifted-comparison BRIEF computation into every
     # downstream dynamic-slice consumer (the stereo row matcher alone takes
     # 1024 slices -> the field would be recomputed per slice, ~6 ms/frame).
     dense_l, dense_r = jax.lax.optimization_barrier(
-        (smooth_brief_dense(img_left), smooth_brief_dense(img_right))
+        (smooth_brief_dense(img_l_ext), smooth_brief_dense(img_r_ext))
     )
 
     # --- pose prior ------------------------------------------------------

@@ -113,10 +113,11 @@ def _kernel(
     dist_ref,          # [L] int32
     ybase_ref,         # [L] int32 — global image row of block row 0
     # scratch
-    slab,              # [2, SLAB_H, W*8] uint32 VMEM
+    slab,              # [2, SLAB_H, W8P] uint32 VMEM (W8P >= w8, lane-padded)
     sems,              # [2] DMA semaphores
     *,
     h: int,
+    w8: int,
     cutoff_s1: int,
     cutoff_s2: int,
     cutoff_ref: int,
@@ -132,9 +133,13 @@ def _kernel(
             jnp.clip(band * _BAND_H - REACH_Y, 0, row_top), 8)
 
     def slab_dma(band, slot):
+        # the slab is lane-padded wider than the field; DMA fills only the
+        # real w8 columns — the slack columns are never scored (every
+        # accepted candidate has |dx| <= 28, inside the image for in-FoV
+        # landmarks), so they can stay uninitialized
         return pltpu.make_async_copy(
             dense_ref.at[pl.ds(band_row0(band), _SLAB_H)],
-            slab.at[slot],
+            slab.at[slot, :, 0:w8],
             sems.at[slot],
         )
 
@@ -219,14 +224,19 @@ def track_scores(
     x0 = jnp.clip(u_r - REACH_X, 0, w - WIN_W)
     y0 = jnp.clip(v_r - REACH_Y, 0, h - WIN_H)
 
-    # pad the field width so every 128-aligned lane block fits, and the
-    # height to a multiple of 8 so band DMA starts are provably aligned
+    # Alignment: band DMA needs 8-aligned rows and 128-word-aligned row
+    # length. models.frame feeds fields whose width is already a multiple
+    # of 16 px (it edge-extends the raw image — far cheaper than padding
+    # the 15 MB field here, which is the fallback for direct callers).
     w8 = w * 8
-    w8p = -(-w8 // 128) * 128
+    w8a = -(-w8 // 128) * 128
+    hp = -(-h // 8) * 8
+    # the slab may be wider than the field: aligned block reads near the
+    # right edge may poke into never-scored slack columns
+    w8p = w8a
     xa_max = ((w - WIN_W) // 16) * 16
     while xa_max * 8 + BLOCK_W * 8 > w8p:
         w8p += 128
-    hp = -(-h // 8) * 8
 
     nb = -(-h // _BAND_H)
     order = jnp.argsort(v_r)
@@ -237,7 +247,7 @@ def track_scores(
     ])
 
     kern = functools.partial(
-        _kernel, h=hp,
+        _kernel, h=hp, w8=w8a,
         cutoff_s1=cutoff_s1, cutoff_s2=cutoff_s2, cutoff_ref=cutoff_ref,
     )
     # tile descriptors across the block's candidate columns; build the
@@ -271,7 +281,9 @@ def track_scores(
         interpret=interpret,
     )(
         starts, u_r[order], v_r[order], x0[order], y0[order],
-        jnp.pad(dense_left.reshape(h, w8), ((0, hp - h), (0, w8p - w8))),
+        (dense_left.reshape(h, w8) if hp == h and w8a == w8
+         else jnp.pad(dense_left.reshape(h, w8),
+                      ((0, hp - h), (0, w8a - w8)))),
         dl_t[order], dr_t[order], group,
     )
     # unsort back to table order

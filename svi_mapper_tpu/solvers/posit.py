@@ -75,7 +75,7 @@ def _stereo_residual_jacobian(T_wc, p_w, uv4, fx, fy, cx, cy, bq):
     return r, J, z
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "unroll"))
 def solve_stereo_posit(
     T_init: jax.Array,          # [4,4] prior world->camera
     p_w: jax.Array,             # [N,3] landmark world positions
@@ -93,6 +93,7 @@ def solve_stereo_posit(
     max_iterations: int = 100,
     convergence: float = 1e-5,
     damping: float = 1e-6,
+    unroll: int = 2,
 ) -> PositResult:
     """Solve the frame pose from stereo matches; gates encode the reference's
     failure protocol as a returned flag instead of an exception."""
@@ -124,12 +125,20 @@ def solve_stereo_posit(
         T_new = se3.apply_left_update(xi, T)
         return T_new, it + 1, jnp.max(jnp.abs(xi))
 
+    def body(carry):
+        # run `unroll` GN updates per convergence check: while_loop body
+        # dispatch dominates the tiny 6x6 algebra on TPU, and extra steps
+        # past convergence are numerical no-ops (|xi| <= delta ~ 1e-5)
+        for _ in range(max(1, unroll)):
+            carry = gn_step(carry)
+        return carry
+
     def cond(carry):
         _, it, delta = carry
         return (it < max_iterations) & (delta > convergence)
 
     T_opt, iters, _ = jax.lax.while_loop(
-        cond, gn_step, (T_init, jnp.int32(0), jnp.asarray(jnp.inf, T_init.dtype))
+        cond, body, (T_init, jnp.int32(0), jnp.asarray(jnp.inf, T_init.dtype))
     )
 
     # final gates (ref CSolverStereoPosit.cpp:117-153)
