@@ -36,7 +36,7 @@ class StereoMatches:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_disparity", "cutoff")
+    jax.jit, static_argnames=("max_disparity", "cutoff", "force_kernel")
 )
 def match_stereo(
     dense_right: jax.Array,     # [H, W, 8] uint32 dense BRIEF of RIGHT
@@ -52,6 +52,7 @@ def match_stereo(
     max_depth: float = 1000.0,
     disparity_center: jax.Array | None = None,  # [K] previous disparity
     search_range: jax.Array | None = None,      # [K] +- px around center
+    force_kernel: bool = False,   # exercise the Pallas path off-TPU (interpret)
 ) -> StereoMatches:
     """Match left keypoints into the right image along rectified scanlines.
 
@@ -66,31 +67,47 @@ def match_stereo(
     D = max_disparity
     h, w = dense_right.shape[:2]
 
-    # contiguous row-span fetch: the D scanline candidates left of the
-    # keypoint are one [D, 8] slice of the dense field (contiguous HBM reads
-    # beat the equivalent point gather ~3x on TPU); reversing the span makes
-    # index i correspond to disparity base + i
     De = min(D, w)   # images narrower than the search range: clamp the span
     u_r = jnp.clip(jnp.round(uv_left[:, 0]).astype(jnp.int32), 0, w - 1)
     v_r = jnp.clip(jnp.round(uv_left[:, 1]).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(u_r - (De - 1), 0, w - De)
 
-    def cut(y, x):
-        return jax.lax.dynamic_slice(dense_right, (y, x, 0), (1, De, 8))
+    if force_kernel or jax.default_backend() == "tpu":
+        # Pallas band-sweep profile kernel (ops.stereo_kernel): one HBM pass
+        # over the field, per-keypoint scanline scoring in VMEM. Returns the
+        # column-indexed profile; flip to ascending-disparity order.
+        from svi_mapper_tpu.ops.stereo_kernel import stereo_profiles
 
-    cand_desc = jax.vmap(cut)(v_r, x0)[:, 0, ::-1, :]             # [K, De, 8]
-    # disparity of reversed-span index i: u = x0 + (De-1) - i, d = u_r - u
-    base = (u_r - x0 - (De - 1)).astype(uv_left.dtype)            # [K] (<= 0)
-    disps = base[:, None] + jnp.arange(De, dtype=uv_left.dtype)[None, :]  # [K, De]
+        profile, xa = stereo_profiles(
+            dense_right, uv_left, desc_left, max_disparity=D,
+            interpret=jax.default_backend() != "tpu",
+        )
+        dist = profile[:, ::-1]
+        S = dist.shape[1]
+        base = (u_r - xa - (S - 1)).astype(uv_left.dtype)
+        disps = base[:, None] + jnp.arange(S, dtype=uv_left.dtype)[None, :]
+    else:
+        # contiguous row-span fetch: the De scanline candidates left of the
+        # keypoint are one [De, 8] slice of the dense field; reversing the
+        # span makes index i correspond to disparity base + i
+        x0 = jnp.clip(u_r - (De - 1), 0, w - De)
 
-    # Hamming of each candidate against its left descriptor
-    x = cand_desc ^ desc_left[:, None, :]
-    dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        def cut(y, x):
+            return jax.lax.dynamic_slice(dense_right, (y, x, 0), (1, De, 8))
+
+        cand_desc = jax.vmap(cut)(v_r, x0)[:, 0, ::-1, :]         # [K, De, 8]
+        # disparity of reversed-span index i: u = x0 + (De-1) - i, d = u_r - u
+        base = (u_r - x0 - (De - 1)).astype(uv_left.dtype)        # [K] (<= 0)
+        disps = base[:, None] + jnp.arange(De, dtype=uv_left.dtype)[None, :]
+
+        # Hamming of each candidate against its left descriptor
+        x = cand_desc ^ desc_left[:, None, :]
+        dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
     # candidate validity: inside image (in FLOAT coordinates, u - d >= 0 —
     # keeps the left-edge semantics of the pregather formulation), disparity
-    # floor, optional range bound
-    okc = (disps >= min_disparity) & (disps <= uv_left[:, 0:1])
+    # floor + ceiling, optional range bound
+    okc = (disps >= min_disparity) & (disps <= uv_left[:, 0:1]) \
+        & (disps <= De - 1)
     if disparity_center is not None:
         rng = search_range if search_range is not None else jnp.full((K,), 60.0, uv_left.dtype)
         okc = okc & (jnp.abs(disps - disparity_center[:, None]) <= rng[:, None])
@@ -102,10 +119,11 @@ def match_stereo(
 
     # refine disparity to sub-pixel with a 3-point parabola on the Hamming
     # profile (cheap accuracy win over the reference's integer candidates)
-    dm = jnp.take_along_axis(dist, jnp.clip(best - 1, 0, De - 1)[:, None], axis=1)[:, 0]
-    dp = jnp.take_along_axis(dist, jnp.clip(best + 1, 0, De - 1)[:, None], axis=1)[:, 0]
+    S = dist.shape[1]
+    dm = jnp.take_along_axis(dist, jnp.clip(best - 1, 0, S - 1)[:, None], axis=1)[:, 0]
+    dp = jnp.take_along_axis(dist, jnp.clip(best + 1, 0, S - 1)[:, None], axis=1)[:, 0]
     denom = (dm + dp - 2 * best_dist).astype(uv_left.dtype)
-    interior = (best > 0) & (best < De - 1)
+    interior = (best > 0) & (best < S - 1)
     delta = jnp.where(
         interior & (denom > 0) & (dm < _BIG) & (dp < _BIG),
         0.5 * (dm - dp).astype(uv_left.dtype) / jnp.maximum(denom, 1e-6),

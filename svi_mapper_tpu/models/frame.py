@@ -114,13 +114,12 @@ def process_frame(
         img_r_ext = jnp.pad(img_right, ext, mode="edge")
     else:
         img_l_ext, img_r_ext = img_left, img_right
-    # The barrier forces ONE materialization of each field: without it XLA
-    # fuses the whole shifted-comparison BRIEF computation into every
-    # downstream dynamic-slice consumer (the stereo row matcher alone takes
-    # 1024 slices -> the field would be recomputed per slice, ~6 ms/frame).
-    dense_l, dense_r = jax.lax.optimization_barrier(
-        (smooth_brief_dense(img_l_ext), smooth_brief_dense(img_r_ext))
-    )
+    # Each field is materialized exactly once: both hot consumers are Pallas
+    # kernels (tracking band-sweep + stereo profile), whose operands XLA must
+    # materialize — which also stops it from re-fusing the 256-comparison
+    # BRIEF computation into the remaining small point-gather consumers.
+    dense_l = smooth_brief_dense(img_l_ext)
+    dense_r = smooth_brief_dense(img_r_ext)
 
     # --- pose prior ------------------------------------------------------
     if use_gt_pose or use_external_prior:
