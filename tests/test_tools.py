@@ -145,3 +145,54 @@ def test_vocabulary_cli_pipeline(tmp_path):
     v = load_vocabulary(vocab)
     w = np.asarray(word_ids(v, jnp.asarray(z["desc"][:32])))
     assert w.min() >= 0 and w.max() < v.num_words
+
+
+def test_republish_stream_pairs_incoming_frames(tmp_path):
+    """republish_stream pairs files as they arrive and writes a readable
+    dump (ref republisher_node.cpp role)."""
+    import threading
+    import time as _time
+
+    from PIL import Image
+
+    from svi_mapper_tpu import native
+    from svi_mapper_tpu.tools.republish_stream import republish
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    watch = tmp_path / "stream"
+    (watch / "left").mkdir(parents=True)
+    (watch / "right").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    frames = [
+        (rng.integers(0, 255, (48, 64), dtype=np.uint8),
+         rng.integers(0, 255, (48, 64), dtype=np.uint8))
+        for _ in range(5)
+    ]
+
+    def feeder():
+        for i, (L, R) in enumerate(frames):
+            # atomic-ish: write right first, then left (pairing keys on both)
+            Image.fromarray(R).save(watch / "right" / f"{i:04d}.500000.png")
+            Image.fromarray(L).save(watch / "left" / f"{i:04d}.500000.png")
+            _time.sleep(0.05)
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    out = tmp_path / "stream.svid"
+    n = republish(watch, out, poll_s=0.02, idle_timeout_s=1.0,
+                  log=lambda *a: None)
+    t.join()
+    assert n == 5
+
+    r = native.DumpReader(out)
+    assert r.n_frames == 5 and (r.height, r.width) == (48, 64)
+    got = list(r)
+    assert len(got) == 5
+    fid, ts, L, R = got[2]
+    assert fid == 2
+    np.testing.assert_array_equal(L, frames[2][0])
+    np.testing.assert_array_equal(R, frames[2][1])
