@@ -42,6 +42,35 @@ from svi_mapper_tpu.geometry.camera import StereoCamera
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _inv3x3(M: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    ``jnp.linalg.inv`` on a [L,3,3] batch lowers to per-matrix LU custom
+    calls on TPU (~1.6 ms per BA iteration at L=2048); the cofactor form is
+    a handful of fused elementwise ops.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 @struct.dataclass
 class BAResult:
     T_wc: jax.Array        # [K,4,4] optimized poses
@@ -126,24 +155,44 @@ def bundle_adjust(
         w = w * (p_c[..., 2] > 0.05)
         J_pose, J_point = _jacobians(p_c, T, fx, fy, bq)
 
-        H_pp = jnp.einsum("klri,kl,klrj->kij", J_pose, w, J_pose, precision=_PREC)
-        H_ll = jnp.einsum("klri,kl,klrj->lij", J_point, w, J_point, precision=_PREC)
-        H_pl = jnp.einsum("klri,kl,klrj->klij", J_pose, w, J_point, precision=_PREC)
-        b_p = jnp.einsum("klri,kl,klr->ki", J_pose, w, r, precision=_PREC)
-        b_l = jnp.einsum("klri,kl,klr->li", J_point, w, r, precision=_PREC)
+        # Hessian blocks as explicit batched matmuls: einsum spellings of
+        # these contractions lower to convolutions on TPU (~4x slower)
+        Jp = J_pose.reshape(K, L * 4, 6)
+        Jpw = (J_pose * w[..., None, None]).reshape(K, L * 4, 6)
+        Jl = J_point.transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
+        Jlw = (J_point * w[..., None, None]).transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
+        rk = r.reshape(K, L * 4, 1)
+        rl = r.transpose(1, 0, 2).reshape(L, K * 4, 1)
+
+        H_pp = jnp.matmul(Jpw.transpose(0, 2, 1), Jp, precision=_PREC)   # [K,6,6]
+        H_ll = jnp.matmul(Jlw.transpose(0, 2, 1), Jl, precision=_PREC)   # [L,3,3]
+        # tiny-matrix batched contractions (r-dim 4, m-dim 3) are unrolled
+        # into broadcast-sums: as matmuls they lower to slow convolutions
+        Jpw4 = J_pose * w[..., None, None]                        # [K,L,4,6]
+        H_pl = sum(
+            Jpw4[..., rr, :, None] * J_point[..., rr, None, :] for rr in range(4)
+        )                                                         # [K,L,6,3]
+        b_p = jnp.matmul(Jpw.transpose(0, 2, 1), rk, precision=_PREC)[..., 0]  # [K,6]
+        b_l = jnp.matmul(Jlw.transpose(0, 2, 1), rl, precision=_PREC)[..., 0]  # [L,3]
 
         # Levenberg damping
         H_pp = H_pp + lam * jnp.eye(6, dtype=dtype)[None]
         H_ll = H_ll + (lam + point_damping) * jnp.eye(3, dtype=dtype)[None]
 
-        H_ll_inv = jnp.linalg.inv(H_ll)                          # [L,3,3] batched
+        H_ll_inv = _inv3x3(H_ll)                                  # [L,3,3] batched
 
-        # Schur complement S = H_pp_diag - sum_l W_kl Hll^-1 W_k'l^T
-        W_Hinv = jnp.einsum("klij,ljm->klim", H_pl, H_ll_inv, precision=_PREC)  # [K,L,6,3]
-        S_off = jnp.einsum("klim,qljm->kiqj", W_Hinv, H_pl, precision=_PREC)    # [K,6,K,6]
+        # Schur complement S = H_pp_diag - W Hll^-1 W^T as ONE [K6, L3] x
+        # [L3, K6] matmul on the MXU
+        W_Hinv = sum(
+            H_pl[..., :, jj, None] * H_ll_inv[None, :, None, jj, :]
+            for jj in range(3)
+        )                                                         # [K,L,6,3]
+        A = W_Hinv.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
+        B = H_pl.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
+        S_off = jnp.matmul(A, B.T, precision=_PREC).reshape(K, 6, K, 6)
         S = -S_off
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(H_pp)
-        rhs = b_p - jnp.einsum("klim,lm->ki", W_Hinv, b_l, precision=_PREC)
+        rhs = b_p - jnp.matmul(A, b_l.reshape(L * 3), precision=_PREC).reshape(K, 6)
 
         # gauge fixing: zero out rows/cols of fixed poses, identity diagonal
         free = (~fix_mask).astype(dtype)                          # [K]
@@ -153,13 +202,19 @@ def bundle_adjust(
         )
         rhs = rhs * free[:, None]
 
+        # S is SPD after damping + gauge fixing: Cholesky beats the LU
+        # custom call this solve lowered to before
         S_flat = Sm.reshape(K * 6, K * 6)
-        dp = -jnp.linalg.solve(S_flat, rhs.reshape(K * 6)).reshape(K, 6)
+        c_lo = jax.scipy.linalg.cho_factor(S_flat, lower=True)
+        dp = -jax.scipy.linalg.cho_solve(c_lo, rhs.reshape(K * 6)).reshape(K, 6)
         dp = dp * free[:, None]
         # back-substitute landmark updates
-        dx = -jnp.einsum("lij,lj->li", H_ll_inv,
-                         b_l + jnp.einsum("klij,ki->lj", H_pl, dp, precision=_PREC),
-                         precision=_PREC)
+        dx = -jnp.matmul(
+            H_ll_inv,
+            (b_l + jnp.matmul(B.T, dp.reshape(K * 6),
+                              precision=_PREC).reshape(L, 3))[..., None],
+            precision=_PREC,
+        )[..., 0]
 
         T_new = jax.vmap(se3.apply_left_update)(dp, T)
         X_new = X + dx
