@@ -39,36 +39,9 @@ from flax import struct
 from svi_mapper_tpu.geometry import se3
 from svi_mapper_tpu.geometry.camera import StereoCamera
 
+from svi_mapper_tpu.geometry.linalg import inv3x3 as _inv3x3
+
 _PREC = jax.lax.Precision.HIGHEST
-
-
-def _inv3x3(M: jax.Array) -> jax.Array:
-    """Closed-form batched 3x3 inverse (adjugate / determinant).
-
-    ``jnp.linalg.inv`` on a [L,3,3] batch lowers to per-matrix LU custom
-    calls on TPU (~1.6 ms per BA iteration at L=2048); the cofactor form is
-    a handful of fused elementwise ops.
-    """
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = c * h - b * i
-    C = b * f - c * e
-    D = f * g - d * i
-    E = a * i - c * g
-    F = c * d - a * f
-    G = d * h - e * g
-    H = b * g - a * h
-    I = a * e - b * d
-    det = a * A + b * D + c * G
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    adj = jnp.stack([
-        jnp.stack([A, B, C], axis=-1),
-        jnp.stack([D, E, F], axis=-1),
-        jnp.stack([G, H, I], axis=-1),
-    ], axis=-2)
-    return adj * inv_det[..., None, None]
 
 
 @struct.dataclass

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry import linalg, se3
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -72,7 +72,7 @@ def align_clouds(
         H = jnp.einsum("nri,n,nrj->ij", J, w, J, precision=_PREC)
         b = jnp.einsum("nri,n,nr->i", J, w, r, precision=_PREC)
         H = H + damping * jnp.eye(6, dtype=dtype)
-        xi = -jnp.linalg.solve(H, b)
+        xi = -linalg.solve6x6_spd(H, b)
         return se3.apply_left_update(xi, T), it + 1, jnp.max(jnp.abs(xi))
 
     def cond(carry):

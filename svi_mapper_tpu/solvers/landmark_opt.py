@@ -33,7 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry import linalg, se3
 from svi_mapper_tpu.geometry.camera import StereoCamera
 from svi_mapper_tpu.mapping.landmarks import LandmarkTable, measurement_mask
 
@@ -202,7 +202,7 @@ def _landmark_gn(
         b = jnp.einsum("mri,m,mr->i", J, w, r,
                        precision=jax.lax.Precision.HIGHEST)
         H = H + damping * jnp.eye(3, dtype=H.dtype)
-        dp = -jnp.linalg.solve(H, b)
+        dp = -linalg.solve3x3(H, b)
         return p + dp, it + 1, jnp.max(jnp.abs(dp))
 
     def cond(carry):

@@ -174,7 +174,9 @@ def optimize_pose_graph(
         )
         b = b * free[:, None]
 
-        xi = -jnp.linalg.solve(H.reshape(N * 6, N * 6), b.reshape(N * 6)).reshape(N, 6)
+        # damped SPD system: Cholesky beats the LU custom call
+        c_lo = jax.scipy.linalg.cho_factor(H.reshape(N * 6, N * 6), lower=True)
+        xi = -jax.scipy.linalg.cho_solve(c_lo, b.reshape(N * 6)).reshape(N, 6)
         xi = xi * free[:, None]
         # trust region: scale the whole update down if any pose step is huge
         step = jnp.max(jnp.abs(xi))

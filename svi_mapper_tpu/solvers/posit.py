@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from svi_mapper_tpu.geometry import se3
+from svi_mapper_tpu.geometry import linalg, se3
 from svi_mapper_tpu.geometry.camera import StereoCamera
 
 
@@ -121,7 +121,7 @@ def solve_stereo_posit(
         b = jnp.einsum("nri,n,nr->i", J, w, r,
                        precision=jax.lax.Precision.HIGHEST)
         H = H + damping * jnp.eye(6, dtype=H.dtype)
-        xi = -jnp.linalg.solve(H, b)
+        xi = -linalg.solve6x6_spd(H, b)
         T_new = se3.apply_left_update(xi, T)
         return T_new, it + 1, jnp.max(jnp.abs(xi))
 

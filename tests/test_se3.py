@@ -134,3 +134,28 @@ def test_jit_and_vmap_compatible():
     f = jax.jit(jax.vmap(se3.exp_se3))
     out = f(xi)
     assert out.shape == (4, 4, 4)
+
+
+def test_inv3x3_matches_numpy():
+    from svi_mapper_tpu.geometry import linalg as gl
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(64, 3, 3))
+    M = A @ A.transpose(0, 2, 1) + 0.1 * np.eye(3)   # SPD batch
+    # x64 is disabled in the test session -> f32 tolerances
+    inv = np.asarray(gl.inv3x3(jnp.asarray(M)))
+    np.testing.assert_allclose(inv, np.linalg.inv(M), rtol=5e-4, atol=1e-5)
+
+
+def test_solve6x6_spd_matches_numpy():
+    from svi_mapper_tpu.geometry import linalg as gl
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(32, 6, 6))
+    M = A @ A.transpose(0, 2, 1) + 0.1 * np.eye(6)
+    b = rng.normal(size=(32, 6))
+    x = np.asarray(gl.solve6x6_spd(jnp.asarray(M), jnp.asarray(b)))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(M, b[..., None])[..., 0], rtol=5e-3, atol=1e-4)
