@@ -1,26 +1,34 @@
-"""Benchmark: stereo SLAM frame throughput per chip on KITTI-sized frames.
+"""Benchmark: full stereo-SLAM throughput per chip on KITTI-sized frames.
 
-Runs the full jitted frame step (dense BRIEF x2, 3-stage tracking, stereo
-posit GN, measurement append, landmark GN refinement, detection + stereo
-triangulation + insertion, keyframe logic) on synthetic 1241x376 stereo
-frames with a 1024-landmark map — the per-frame workload of the reference's
-``tracker_sv`` on KITTI 00 (SURVEY.md §3.2) — in the framework's throughput
-mode: frames staged on device, stepped by ``lax.scan`` chunks
-(models.frame.process_chunk, numerically identical to per-frame stepping).
+Three measurements (BASELINE.md measurement row):
 
-Baseline: the reference publishes no numbers (BASELINE.md); the CPU anchor
-is this same chunked pipeline on the jax CPU backend, measured at
-20.87 frames/s steady-state (this machine, 2026-08; per-frame dispatch
-measures 15.3 — scan chunking removes the per-call state copies/sync).
-BASELINE.json's throughput target is >= 3x the CPU baseline per chip,
-i.e. vs_baseline >= 3.0 here.
+  * **full-SLAM frames/s** (headline): ``SLAMSystem.process_many`` on a
+    synthetic loop sequence at KITTI 00 resolution (1241x376) — per-frame
+    front-end (dense BRIEF x2, 3-stage tracking, stereo posit GN with the
+    fallback cascade, landmark GN refinement, detection + triangulation +
+    insertion) in ``lax.scan`` chunks PLUS the back-end folded at chunk
+    boundaries: keyframe DB adds, loop-closure search + consensus,
+    trajectory pose graph, windowed Schur BA — the complete pipeline of the
+    reference's ``tracker_sv`` (CTrackerSV.cpp:239-456) including the
+    inline back-end at :440.
+  * **front-end frames/s**: the tracking-only chunked scan (the round-1
+    number, kept for continuity).
+  * **BA iterations/s**: Levenberg-Marquardt iterations of the batched
+    Schur-complement bundle adjuster at the 8-keyframe x 1024-landmark
+    window shape (solvers.ba.bundle_adjust).
+
+Baselines: the reference publishes no numbers (BASELINE.md); the CPU
+anchors below are this same code on the jax CPU backend of this machine
+(measured 2026-08 with ``python bench.py --cpu``). BASELINE.json's
+throughput target is >= 3x the CPU baseline per chip.
 
 Frames are pre-staged on device: in this harness the single TPU chip sits
 behind a network tunnel whose 25 MB/s host->device path is an artifact of
 the sandbox, not of TPU hardware (PCIe staging of a 1.8 MB frame costs
 <0.5 ms in production).
 
-Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline",
+...extra fields}.
 """
 
 from __future__ import annotations
@@ -30,19 +38,14 @@ import json
 import sys
 import time
 
-CPU_BASELINE_FPS = 20.87  # chunked pipeline, jax CPU backend, 1241x376
+# CPU-backend anchors (this machine, jax CPU, 2026-08, `python bench.py --cpu`)
+CPU_FULL_SLAM_FPS = 13.06
+CPU_FRONTEND_FPS = 20.87
+CPU_BA_ITERS_PER_SEC = 52.5
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
+def bench_frontend(quick: bool) -> float:
     import jax
-
-    if "--cpu" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")
-    # persistent compilation cache: first-run compiles are shipped over the
-    # sandbox tunnel and dominate wall-clock; later processes reuse them
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from svi_mapper_tpu.config import DEFAULT_PARAMS
@@ -52,15 +55,12 @@ def main() -> None:
     n_frames = 4 if quick else 10
     reps = 1 if quick else 4
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376, step=0.8)
-    Ls, Rs = [], []
-    for (L, R, _) in seq:
-        Ls.append(jnp.asarray(L))
-        Rs.append(jnp.asarray(R))
-    L = jnp.stack(Ls)
-    R = jnp.stack(Rs)
+    L = jnp.stack([jnp.asarray(f[0]) for f in seq])
+    R = jnp.stack([jnp.asarray(f[1]) for f in seq])
     jax.block_until_ready((L, R))
 
-    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=1024, max_detections=1024)
+    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=1024,
+                                 max_detections=1024)
     cam = seq.cam
 
     def run_chunk(state, l, r):
@@ -80,15 +80,119 @@ def main() -> None:
         n += n_frames
     out.T_wc.block_until_ready()
     dt = time.perf_counter() - t0
-    fps = n / dt
+    return n / dt
+
+
+def bench_full_slam(quick: bool) -> tuple[float, dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from svi_mapper_tpu.config import DEFAULT_PARAMS
+    from svi_mapper_tpu.io.synthetic import SyntheticSequence
+    from svi_mapper_tpu.models.slam import SLAMSystem
+
+    # 208 frames around a radius-12 loop (revisit at ~frame 180): gentle
+    # enough per-frame motion for KITTI-resolution flow, long enough that
+    # the closure + pose-graph + BA path all fire during the measurement
+    n_frames = 48 if quick else 208
+    seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
+                            trajectory="loop", loop_radius=12.0)
+    L = jnp.stack([jnp.asarray(f[0]) for f in seq])
+    R = jnp.stack([jnp.asarray(f[1]) for f in seq])
+    jax.block_until_ready((L, R))
+
+    params = dataclasses.replace(
+        DEFAULT_PARAMS, max_landmarks=1024, max_detections=1024,
+        keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
+    )
+
+    def run() -> SLAMSystem:
+        slam = SLAMSystem(seq.cam, params)
+        slam.process_many(L, R, chunk=16)
+        return slam
+
+    run()                        # compile warmup (all shape buckets)
+    t0 = time.perf_counter()
+    slam = run()
+    dt = time.perf_counter() - t0
+    return n_frames / dt, dict(slam.stats, keyframes=len(slam.slam_keyframes))
+
+
+def bench_ba(quick: bool) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svi_mapper_tpu.io.synthetic import default_camera
+    from svi_mapper_tpu.solvers import ba as ba_mod
+
+    K, Lm = 8, 1024
+    iters = 30
+    reps = 1 if quick else 4
+    cam = default_camera(1241, 376)
+    rng = np.random.default_rng(3)
+    X = rng.uniform([-20, -2, 5], [20, 2, 60], (Lm, 3)).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    T[:, 2, 3] = -np.arange(K, dtype=np.float32) * 1.0   # forward motion
+    fx = float(cam.left.fx); cx = float(cam.left.cx); cy = float(cam.left.cy)
+    bq = float(cam.right.P[0, 3])
+    p_c = np.einsum("kij,lj->kli", T[:, :3, :3], X) + T[:, None, :3, 3]
+    z = p_c[..., 2]
+    u_l = fx * p_c[..., 0] / z + cx
+    v_l = fx * p_c[..., 1] / z + cy
+    u_r = (fx * p_c[..., 0] + bq) / z + cx
+    obs = np.stack([u_l, v_l, u_r, v_l], -1) + rng.normal(0, 0.5, (K, Lm, 4))
+    mask = (z > 1.0) & (u_l > 0) & (u_l < 1241) & (v_l > 0) & (v_l < 376)
+    # perturb the initial guess so LM has real work every iteration
+    X0 = X + rng.normal(0, 0.2, X.shape).astype(np.float32)
+    fix = np.zeros(K, bool); fix[0] = True
+
+    args = (jnp.asarray(T), jnp.asarray(X0), jnp.asarray(obs, jnp.float32),
+            jnp.asarray(mask), cam, jnp.asarray(fix))
+    # min_rel_improvement=0 disables the <1% early stop: every call runs
+    # the full `iters` LM iterations
+    res = ba_mod.bundle_adjust(*args, max_iterations=iters,
+                               min_rel_improvement=0.0)
+    jax.block_until_ready(res.T_wc)
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(reps):
+        res = ba_mod.bundle_adjust(*args, max_iterations=iters,
+                                   min_rel_improvement=0.0)
+        done += int(res.iterations)
+    jax.block_until_ready(res.T_wc)
+    return done / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: first-run compiles are shipped over the
+    # sandbox tunnel and dominate wall-clock; later processes reuse them
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    slam_fps, slam_stats = bench_full_slam(quick)
+    frontend_fps = bench_frontend(quick)
+    ba_ips = bench_ba(quick)
 
     print(
         json.dumps(
             {
-                "metric": "synthetic_kitti_stereo_slam_frames_per_sec_per_chip",
-                "value": round(fps, 3),
+                "metric": "synthetic_kitti_full_slam_frames_per_sec_per_chip",
+                "value": round(slam_fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
+                "vs_baseline": round(slam_fps / CPU_FULL_SLAM_FPS, 3),
+                "frontend_frames_per_sec": round(frontend_fps, 3),
+                "frontend_vs_baseline": round(frontend_fps / CPU_FRONTEND_FPS, 3),
+                "ba_iterations_per_sec": round(ba_ips, 3),
+                "ba_vs_baseline": round(ba_ips / CPU_BA_ITERS_PER_SEC, 3),
+                "closures_accepted": slam_stats.get("closures_accepted", 0),
+                "ba_runs": slam_stats.get("ba_runs", 0),
+                "keyframes": slam_stats.get("keyframes", 0),
             }
         )
     )

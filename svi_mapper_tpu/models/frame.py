@@ -61,6 +61,38 @@ class FrameOutput:
     is_keyframe: jax.Array    # bool
     avg_error_px2: jax.Array  # posit average inlier error
     inliers: jax.Array        # posit inlier count
+    instability: jax.Array    # int32 — post-frame instability counter
+                              # (ref CTrackerSV.cpp:286-317; gates BA at :430)
+
+
+@struct.dataclass
+class KeyframeSnapshot:
+    """Per-frame landmark-table snapshot emitted by the chunked scan so
+    host keyframe handling (DB add, closure search, BA observations) sees
+    the table AS OF the keyframe's own frame, not the end of the chunk
+    (the reference builds the keyframe cloud inline, CTrackerGT.cpp:222-250)."""
+
+    uid: jax.Array        # [L] int32
+    active: jax.Array     # [L] bool
+    optimal: jax.Array    # [L] bool
+    tracked: jax.Array    # [L] bool — measurement landed this frame (failed==0)
+    uv_left: jax.Array    # [L, 2] last left pixel
+    disparity: jax.Array  # [L]
+    pos_w: jax.Array      # [L, 3]
+    desc: jax.Array       # [L, 8] uint32 left reference descriptors
+
+
+def snapshot_of(table: lm.LandmarkTable) -> KeyframeSnapshot:
+    return KeyframeSnapshot(
+        uid=table.uid,
+        active=table.active,
+        optimal=table.is_optimal,
+        tracked=table.failed == 0,
+        uv_left=table.uv_left_last,
+        disparity=table.disparity_last,
+        pos_w=table.pos_w,
+        desc=table.desc_left_ref,
+    )
 
 
 def init_state(params: TrackingParams, T0: jax.Array | None = None) -> FrameState:
@@ -261,12 +293,15 @@ def process_frame(
         is_keyframe=is_keyframe,
         avg_error_px2=avg_err,
         inliers=inliers,
+        instability=new_state.instability,
     )
     return new_state, out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "use_gt_pose", "landmark_opt_every")
+    jax.jit,
+    static_argnames=("params", "use_gt_pose", "landmark_opt_every",
+                     "emit_snapshots"),
 )
 def process_chunk(
     state: FrameState,
@@ -278,6 +313,7 @@ def process_chunk(
     *,
     use_gt_pose: bool = False,
     landmark_opt_every: int = 1,
+    emit_snapshots: bool = False,
 ) -> tuple[FrameState, FrameOutput]:
     """Throughput mode: ``lax.scan`` the frame step over a staged chunk.
 
@@ -290,22 +326,32 @@ def process_chunk(
 
     Keyframe/loop-closure events surface in the stacked FrameOutput; host
     code handles them after each chunk (the offline/throughput analog of the
-    reference's per-frame dataset playback, tracker_gt.cpp:182-268).
+    reference's per-frame dataset playback, tracker_gt.cpp:182-268). With
+    ``emit_snapshots=True`` the scan additionally stacks a per-frame
+    :class:`KeyframeSnapshot` (~60 KB/frame) so the SLAM back-end can build
+    each keyframe's observation set from its OWN frame's table.
     """
     every = max(1, landmark_opt_every)
 
     def step(carry, inp):
         l, r, T = inp
         do_opt = (carry.frame_idx % every) == 0
-        return process_frame(
+        carry, out = process_frame(
             carry, l, r, cam, params, T,
             use_gt_pose=use_gt_pose,
             do_landmark_opt=do_opt,
         )
+        if emit_snapshots:
+            return carry, (out, snapshot_of(carry.table))
+        return carry, out
 
     n = imgs_left.shape[0]
     if T_gt is None:
         T_feed = jnp.zeros((n, 4, 4), jnp.float32)   # unused (not GT mode)
     else:
         T_feed = T_gt
-    return jax.lax.scan(step, state, (imgs_left, imgs_right, T_feed))
+    state, ys = jax.lax.scan(step, state, (imgs_left, imgs_right, T_feed))
+    if emit_snapshots:
+        out, snaps = ys
+        return state, out, snaps
+    return state, ys

@@ -96,6 +96,13 @@ class SLAMSystem(StereoTracker):
         self.graph_snapshot_dir = graph_snapshot_dir
         self._closure_pool = None
         self._pending_closures: list = []
+        # chunk-mode gauge-correction accumulators: pose graph / BA runs
+        # between chunks change the world gauge; later keyframes of the SAME
+        # chunk carry raw (pre-correction) snapshots, so corrections are
+        # accumulated and applied to their snapshots before handling
+        # (p_new = _corr_P p_raw; T_new = T_raw @ _corr_M)
+        self._corr_P = np.eye(4, dtype=np.float64)
+        self._corr_M = np.eye(4, dtype=np.float64)
         if async_closure:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -109,32 +116,110 @@ class SLAMSystem(StereoTracker):
             self._on_keyframe(out)
         return out
 
+    def process_many(self, imgs_left, imgs_right, T_gt=None,
+                     chunk: int = 16) -> list:
+        """Throughput mode WITH the back-end: the chunked scan emits
+        per-frame table snapshots, and every keyframe in the chunk is folded
+        through the full keyframe path (DB add -> closure search -> pose
+        graph -> windowed BA) at the chunk boundary — the offline analog of
+        the reference's inline back-end (CTrackerSV.cpp:440)."""
+        import time
+
+        Lj = jnp.asarray(imgs_left, jnp.float32)
+        Rj = jnp.asarray(imgs_right, jnp.float32)
+        n = Lj.shape[0]
+        outs: list = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            t0 = time.perf_counter()
+            T_sl = None if T_gt is None else jnp.asarray(T_gt[s:e], jnp.float32)
+            self.state, stacked, snaps = frame_mod.process_chunk(
+                self.state, Lj[s:e], Rj[s:e], self.cam, self.params, T_sl,
+                use_gt_pose=self.use_gt_pose,
+                landmark_opt_every=self.landmark_opt_every,
+                emit_snapshots=True,
+            )
+            stacked.T_wc.block_until_ready()
+            self.timings["frame_total"] += time.perf_counter() - t0
+            kf_mask = np.asarray(stacked.is_keyframe)
+            T_all = np.asarray(stacked.T_wc)
+            base = self.frame_count
+            for i in range(e - s):
+                out = jax.tree_util.tree_map(lambda x: x[i], stacked)
+                self.frame_count += 1
+                self.trajectory.append(T_all[i])
+                self.outputs.append(out)
+                outs.append(out)
+                if kf_mask[i]:
+                    self._spawn_keyframe(out)
+            if kf_mask.any():
+                sn = jax.tree_util.tree_map(np.asarray, snaps)
+                self._corr_P = np.eye(4, dtype=np.float64)
+                self._corr_M = np.eye(4, dtype=np.float64)
+                for i in np.nonzero(kf_mask)[0]:
+                    i = int(i)
+                    # apply the corrections accumulated from earlier
+                    # keyframes of this chunk to the raw snapshot
+                    T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
+                    P = self._corr_P
+                    pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
+                    self._handle_keyframe(
+                        frame_idx=base + i,
+                        T_wc=T_kf.astype(np.float32),
+                        uid=sn.uid[i], active=sn.active[i],
+                        optimal=sn.optimal[i], tracked=sn.tracked[i],
+                        uv_left=sn.uv_left[i], disparity=sn.disparity[i],
+                        pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
+                        instability=int(stacked.instability[i]),
+                    )
+                    # anchor the recorded trajectory at the corrected pose
+                    self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+        return outs
+
     # ------------------------------------------------------------------
     def _on_keyframe(self, out) -> None:
         t = self.state.table
-        active = np.asarray(t.active)
-        tracked_uv = np.asarray(t.uv_left_last)
-        disparity = np.asarray(t.disparity_last)
-        uids = np.asarray(t.uid)
-        pos_w = np.asarray(t.pos_w)
-        desc = np.asarray(t.desc_left_ref)
-        optimal = np.asarray(t.is_optimal)
-        failed = np.asarray(t.failed)
-        T_wc = np.asarray(self.state.T_wc)
+        self._handle_keyframe(
+            frame_idx=self.frame_count - 1,
+            T_wc=np.asarray(self.state.T_wc),
+            uid=np.asarray(t.uid),
+            active=np.asarray(t.active),
+            optimal=np.asarray(t.is_optimal),
+            tracked=np.asarray(t.failed) == 0,
+            uv_left=np.asarray(t.uv_left_last),
+            disparity=np.asarray(t.disparity_last),
+            pos_w=np.asarray(t.pos_w),
+            desc=np.asarray(t.desc_left_ref),
+            instability=int(self.state.instability),
+        )
+        # keep the recorded trajectory piecewise-consistent: after back-end
+        # corrections the live pose changed; the keyframe's trajectory entry
+        # must be the CORRECTED pose so each inter-keyframe segment is
+        # internally consistent and anchors exactly at raw[kf.frame_idx]
+        self.trajectory[-1] = np.asarray(self.state.T_wc)
 
+    def _handle_keyframe(
+        self, *, frame_idx: int, T_wc: np.ndarray, uid: np.ndarray,
+        active: np.ndarray, optimal: np.ndarray, tracked: np.ndarray,
+        uv_left: np.ndarray, disparity: np.ndarray, pos_w: np.ndarray,
+        desc: np.ndarray, instability: int = 0,
+    ) -> None:
+        """Keyframe event on explicit arrays (live table in per-frame mode,
+        scan snapshots in chunk mode): record, DB add, closure search,
+        windowed BA."""
         # observations for BA: landmarks tracked THIS frame (failed == 0)
-        obs_sel = active & (failed == 0)
+        obs_sel = active & tracked
         uv4 = np.concatenate(
-            [tracked_uv, tracked_uv[:, :1] - disparity[:, None], tracked_uv[:, 1:2]],
+            [uv_left, uv_left[:, :1] - disparity[:, None], uv_left[:, 1:2]],
             axis=1,
         )
         kf = SLAMKeyframe(
             index=len(self.slam_keyframes),
-            frame_idx=self.frame_count - 1,
+            frame_idx=frame_idx,
             T_wc=T_wc.copy(),
-            obs_uids=uids[obs_sel].copy(),
+            obs_uids=uid[obs_sel].copy(),
             obs_uv4=uv4[obs_sel].copy(),
-            pool_uids=uids[active & optimal].copy(),
+            pool_uids=uid[active & optimal].copy(),
         )
         self.slam_keyframes.append(kf)
 
@@ -146,13 +231,13 @@ class SLAMSystem(StereoTracker):
 
         if self.enable_loop_closure:
             self._detect_closures(kf)
-        if self.enable_local_ba and len(self.slam_keyframes) >= 2:
+        # instability vetoes BA (ref CTrackerSV.cpp:430: optimization only
+        # runs when the tracker is stable)
+        if (self.enable_local_ba and len(self.slam_keyframes) >= 2
+                and instability == 0):
             self._local_ba()
-        # keep the recorded trajectory piecewise-consistent: after back-end
-        # corrections the live pose changed; the keyframe's trajectory entry
-        # must be the CORRECTED pose so each inter-keyframe segment is
-        # internally consistent and anchors exactly at raw[kf.frame_idx]
-        self.trajectory[-1] = np.asarray(self.state.T_wc)
+        elif instability > 0:
+            self.stats["ba_vetoed"] = self.stats.get("ba_vetoed", 0) + 1
 
     # ------------------------------------------------------------------
     def _find_closures(self, db: closure_mod.KeyframeDatabase, kf_index: int):
@@ -253,42 +338,66 @@ class SLAMSystem(StereoTracker):
         snapshot_slam(self, d / f"keyframes_0-{n - 1}_{tag}.g2o")
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int, floor: int) -> int:
+        """Next power-of-two shape bucket: keeps the jitted solvers'
+        input shapes on a log-sized set so the growing graph doesn't
+        trigger a recompile per keyframe."""
+        b = floor
+        while b < n:
+            b *= 2
+        return b
+
     def _optimize_pose_graph(self) -> None:
         """Trajectory-only relaxation over ALL keyframes + accepted closures
         (the reference's trajectory graph, Cg2oOptimizer.cpp:342-377)."""
-        N = len(self.slam_keyframes)
-        if N < 2:
+        N0 = len(self.slam_keyframes)
+        if N0 < 2:
             return
-        T = np.stack([k.T_wc for k in self.slam_keyframes]).astype(np.float32)
-        ei, ej, Ms, ws = [], [], [], []
-        for k in range(1, N):
-            M = (T[k] @ np.linalg.inv(T[k - 1])).astype(np.float32)
-            ei.append(k - 1); ej.append(k); Ms.append(M)
-            ws.append(float(pg_mod.sequential_edge_weight(jnp.asarray(M))))
-        for c in self.accepted_closures:
-            ei.append(c.ref_kf); ej.append(c.query_kf)
-            Ms.append(c.T_qr.astype(np.float32)); ws.append(1.0)
+        T0 = np.stack([k.T_wc for k in self.slam_keyframes]).astype(np.float64)
+        # sequential odometry edges, batched (ref info scaling
+        # Cg2oOptimizer.cpp:1258-1266)
+        M_seq = np.matmul(T0[1:], np.linalg.inv(T0[:-1]))
+        w_seq = 1.0 / (1.0 + np.sum(M_seq[:, :3, 3] ** 2, axis=-1))
+        ei = list(range(N0 - 1)) + [c.ref_kf for c in self.accepted_closures]
+        ej = list(range(1, N0)) + [c.query_kf for c in self.accepted_closures]
+        Ms = np.concatenate(
+            [M_seq] + [c.T_qr[None].astype(np.float64)
+                       for c in self.accepted_closures], axis=0)
+        ws = np.concatenate([w_seq, np.ones(len(self.accepted_closures))])
+        E0 = len(ei)
+
+        # pad to shape buckets (masked-out slack)
+        N = self._bucket(N0, 4)
+        E = self._bucket(E0, 8)
+        T = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+        T[:N0] = T0.astype(np.float32)
+        i_pad = np.zeros(E, np.int32); i_pad[:E0] = ei
+        j_pad = np.zeros(E, np.int32); j_pad[:E0] = ej
+        M_pad = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        M_pad[:E0] = Ms.astype(np.float32)
+        w_pad = np.zeros(E, np.float32); w_pad[:E0] = ws
+        v_pad = np.zeros(E, bool); v_pad[:E0] = True
         edges = pg_mod.PoseGraphEdges(
-            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
-            T_ij=jnp.asarray(np.stack(Ms)), weight=jnp.asarray(ws, jnp.float32),
-            valid=jnp.ones(len(ei), bool),
+            i=jnp.asarray(i_pad), j=jnp.asarray(j_pad),
+            T_ij=jnp.asarray(M_pad), weight=jnp.asarray(w_pad),
+            valid=jnp.asarray(v_pad),
         )
-        fix = np.zeros(N, bool); fix[0] = True
+        fix = np.zeros(N, bool); fix[0] = True; fix[N0:] = True
         res = pg_mod.optimize_pose_graph(jnp.asarray(T), edges, jnp.asarray(fix))
-        T_opt = np.asarray(res.T_wc)
+        T_opt = np.asarray(res.T_wc)[:N0]
         self.stats["pose_graph_runs"] += 1
         if not np.isfinite(T_opt).all() or float(res.chi2_final) > float(res.chi2_initial):
             self.stats["pose_graph_rejected"] = self.stats.get("pose_graph_rejected", 0) + 1
             return
         # write back + propagate the last-keyframe correction to live state
-        G = self._world_correction(T[-1], T_opt[-1])
         for k, kf in enumerate(self.slam_keyframes):
             kf.T_wc = T_opt[k]
         self.db.T_wc = jnp.asarray(
-            np.concatenate([T_opt, np.asarray(self.db.T_wc)[N:]], axis=0),
+            np.concatenate([T_opt, np.asarray(self.db.T_wc)[N0:]], axis=0),
             jnp.float32,
         )
-        self._apply_world_correction(T[-1], T_opt[-1])
+        self._apply_world_correction(T0[-1].astype(np.float32), T_opt[-1])
 
     # ------------------------------------------------------------------
     def _attach_live_to_keyframe(self, T_kf_old: np.ndarray, T_kf_new: np.ndarray) -> None:
@@ -297,7 +406,9 @@ class SLAMSystem(StereoTracker):
         where landmarks are updated directly and only the live pose must
         follow (ref back-propagation of the BA result into the tracker pose,
         CTrackerSV.cpp:454-456)."""
-        A = jnp.asarray(np.linalg.inv(T_kf_old) @ T_kf_new, jnp.float32)
+        A_np = np.linalg.inv(T_kf_old.astype(np.float64)) @ T_kf_new
+        self._corr_M = self._corr_M @ A_np
+        A = jnp.asarray(A_np, jnp.float32)
         self.state = self.state.replace(
             T_wc=self.state.T_wc @ A,
             T_wc_prev=self.state.T_wc_prev @ A,
@@ -315,6 +426,8 @@ class SLAMSystem(StereoTracker):
         (the batched analog of _backPropagateTrajectoryToFull +
         _applyOptimizationToLandmarks, Cg2oOptimizer.cpp:1468-1603)."""
         G = self._world_correction(T_old, T_new)        # p_w_new = G p_w_old
+        self._corr_P = G.astype(np.float64) @ self._corr_P
+        self._corr_M = self._corr_M @ np.linalg.inv(G.astype(np.float64))
         Gj = jnp.asarray(G, jnp.float32)
         t = self.state.table
         pos_new = t.pos_w @ Gj[:3, :3].T + Gj[:3, 3]
@@ -332,58 +445,74 @@ class SLAMSystem(StereoTracker):
         # OPTIMIZED trajectory is reconstructed via optimized_trajectory()
 
     # ------------------------------------------------------------------
-    def _local_ba(self) -> None:
-        """Windowed Schur BA over the last ``ba_window`` keyframes
-        (the full-graph stage, Cg2oOptimizer.cpp:394-522)."""
-        kfs = self.slam_keyframes[-self.ba_window:]
-        K = len(kfs)
-        if K < 2:
-            return
-        # union of observed uids across the window, capped
-        uid_set: dict[int, int] = {}
-        for kf in kfs:
-            for u in kf.obs_uids:
-                if int(u) not in uid_set:
-                    uid_set[int(u)] = len(uid_set)
-        if len(uid_set) < 8:
-            return
-        uids = np.fromiter(uid_set.keys(), dtype=np.int64)[: self.ba_max_points]
-        col = {int(u): i for i, u in enumerate(uids)}
-        L = len(uids)
+    def _assemble_ba_window(self, kfs: list[SLAMKeyframe]):
+        """Vectorized observation-tensor assembly for a keyframe window:
+        returns (uids [L0], obs [K,Lpad,4], mask [K,Lpad], X0 [Lpad,3]) with
+        shapes padded to buckets, or None if under-constrained."""
+        K0 = len(kfs)
+        all_uids = np.concatenate([kf.obs_uids for kf in kfs]).astype(np.int64)
+        all_uv = np.concatenate([kf.obs_uv4 for kf in kfs])
+        all_k = np.concatenate(
+            [np.full(len(kf.obs_uids), k, np.int32) for k, kf in enumerate(kfs)])
+        if len(all_uids) == 0:
+            return None
+        uids, inv = np.unique(all_uids, return_inverse=True)
+        if len(uids) < 8:
+            return None
+        keep = inv < self.ba_max_points
+        uids = uids[: self.ba_max_points]
+        L0 = len(uids)
+        Lpad = self._bucket(max(L0, 64), 64)
+        K = self.ba_window
 
-        obs = np.zeros((K, L, 4), np.float32)
-        mask = np.zeros((K, L), bool)
-        for k, kf in enumerate(kfs):
-            for u, uv in zip(kf.obs_uids, kf.obs_uv4):
-                c = col.get(int(u))
-                if c is not None:
-                    obs[k, c] = uv
-                    mask[k, c] = True
+        obs = np.zeros((K, Lpad, 4), np.float32)
+        mask = np.zeros((K, Lpad), bool)
+        obs[all_k[keep], inv[keep]] = all_uv[keep]
+        mask[all_k[keep], inv[keep]] = True
         # landmarks observed in >= 2 keyframes constrain the window
         seen = mask.sum(0)
         mask &= (seen >= 2)[None, :]
         # density gate: an under-constrained window lets BA run wild
-        if mask.sum() < 20 * K:
-            return
+        if mask.sum() < 20 * K0:
+            return None
 
         # current landmark positions by uid lookup in the live table
         t = self.state.table
-        table_uids = np.asarray(t.uid)
+        table_uids = np.asarray(t.uid).astype(np.int64)
         table_pos = np.asarray(t.pos_w)
-        uid_to_slot = {int(u): s for s, u in enumerate(table_uids) if u >= 0}
-        X0 = np.zeros((L, 3), np.float32)
-        have = np.zeros(L, bool)
-        for u, c in col.items():
-            s = uid_to_slot.get(u)
-            if s is not None:
-                X0[c] = table_pos[s]
-                have[c] = True
-        mask &= have[None, :]
+        order = np.argsort(table_uids, kind="stable")
+        pos = np.searchsorted(table_uids[order], uids)
+        pos_c = np.clip(pos, 0, len(order) - 1)
+        slot = order[pos_c]
+        have = (table_uids[slot] == uids) & (uids >= 0)
+        X0 = np.zeros((Lpad, 3), np.float32)
+        X0[:L0][have] = table_pos[slot[have]]
+        havep = np.zeros(Lpad, bool)
+        havep[:L0] = have
+        mask &= havep[None, :]
         if mask.sum() < 24:
-            return
+            return None
+        slot_pad = np.zeros(Lpad, np.int32)
+        slot_pad[:L0] = np.where(have, slot, -1)
+        slot_pad[L0:] = -1
+        return uids, obs, mask, X0, slot_pad
 
-        T0 = np.stack([kf.T_wc for kf in kfs]).astype(np.float32)
-        fix = np.zeros(K, bool); fix[0] = True
+    def _local_ba(self) -> None:
+        """Windowed Schur BA over the last ``ba_window`` keyframes
+        (the full-graph stage, Cg2oOptimizer.cpp:394-522)."""
+        kfs = self.slam_keyframes[-self.ba_window:]
+        K0 = len(kfs)
+        if K0 < 2:
+            return
+        asm = self._assemble_ba_window(kfs)
+        if asm is None:
+            return
+        uids, obs, mask, X0, slot_pad = asm
+        K = self.ba_window
+
+        T0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        T0[:K0] = np.stack([kf.T_wc for kf in kfs]).astype(np.float32)
+        fix = np.zeros(K, bool); fix[0] = True; fix[K0:] = True
         res = ba_mod.bundle_adjust(
             jnp.asarray(T0), jnp.asarray(X0), jnp.asarray(obs), jnp.asarray(mask),
             self.cam, jnp.asarray(fix),
@@ -392,8 +521,9 @@ class SLAMSystem(StereoTracker):
         self.stats["ba_runs"] += 1
         if not np.isfinite(float(res.chi2_final)) or float(res.chi2_final) > float(res.chi2_initial):
             return
-        T_opt = np.asarray(res.T_wc)
+        T_opt = np.asarray(res.T_wc)[:K0]
         X_opt = np.asarray(res.points_w)
+        T0 = T0[:K0]
         # sanity gate on the correction magnitude (the BA analog of the
         # posit RISK check, CSolverStereoPosit.h:89-98): a window BA must
         # not teleport keyframes
@@ -405,16 +535,11 @@ class SLAMSystem(StereoTracker):
         for k, kf in enumerate(kfs):
             kf.T_wc = T_opt[k]
         # write back landmark positions (only BA'd, still-live landmarks)
-        slots, newpos = [], []
-        used = mask.any(0)
-        for u, c in col.items():
-            if used[c]:
-                s = uid_to_slot.get(u)
-                if s is not None:
-                    slots.append(s); newpos.append(X_opt[c])
-        if slots:
-            slots_j = jnp.asarray(np.asarray(slots, np.int32))
-            pos_j = jnp.asarray(np.stack(newpos), jnp.float32)
+        used = mask.any(0) & (slot_pad >= 0)
+        if used.any():
+            slots_j = jnp.asarray(slot_pad[used])
+            pos_j = jnp.asarray(X_opt[used], jnp.float32)
+            t = self.state.table
             # BA'd landmarks also get their measurement rings cleared — the
             # stored observation poses predate the correction and would make
             # the per-frame landmark GN fight the BA result (the reference

@@ -82,3 +82,33 @@ def test_chunk_boundaries_preserve_cadence():
     s_b, _ = frame_mod.process_chunk(s_b, L[3:], R[3:], cam, PARAMS,
                                      landmark_opt_every=2)
     _assert_state_equal(s_a, s_b)
+
+
+def test_chunk_slam_runs_backend_on_loop():
+    """Chunk mode must fold keyframe events through the FULL back-end
+    (DB add, closure search, pose graph, BA) at chunk boundaries — the
+    round-1 gap where throughput mode silently dropped the back-end
+    (ref: the reference runs the back-end inline, CTrackerSV.cpp:440)."""
+    from svi_mapper_tpu.eval import trajectory as ev
+    from svi_mapper_tpu.models.slam import SLAMSystem
+
+    n = 96
+    seq = SyntheticSequence(n_frames=n, width=512, height=256,
+                            trajectory="loop", loop_radius=12.0)
+    params = dataclasses.replace(
+        DEFAULT_PARAMS, max_landmarks=512, max_detections=512,
+        keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02)
+    slam = SLAMSystem(seq.cam, params)
+    frames = list(seq)
+    L = np.stack([np.asarray(f[0]) for f in frames])
+    R = np.stack([np.asarray(f[1]) for f in frames])
+    outs = slam.process_many(L, R, chunk=16)
+    assert len(outs) == n
+    assert len(slam.slam_keyframes) >= 8
+    # the back-end actually ran in throughput mode
+    assert slam.stats["ba_runs"] >= 1
+    assert slam.db.n == len(slam.slam_keyframes)
+    # the loop revisit is detected and accepted
+    assert slam.stats["closures_accepted"] >= 1
+    m = ev.evaluate(slam.optimized_trajectory(), seq.poses_wc)
+    assert m.ate_rmse_m < 1.0
