@@ -160,26 +160,20 @@ def process_frame(
     else:
         T_prior = _constant_velocity_prior(state)
 
-    # --- temporal tracking (3-stage lattice) -----------------------------
-    track = track_landmarks(
-        dense_l, dense_r, state.table, T_prior, cam,
-        cutoff_s1=params.matching_distance_tracking,
-        cutoff_s2=params.matching_distance_tracking_stage2,
-        cutoff_ref=params.matching_distance_epipolar,
-    )
-    n_tracked = jnp.sum(track.tracked.astype(jnp.int32))
-
-    # --- frame pose ------------------------------------------------------
-    if use_gt_pose:
-        T_new = T_gt
-        posit_ok = jnp.asarray(False)
-        avg_err = jnp.asarray(0.0, jnp.float32)
-        inliers = jnp.int32(0)
-        instability = state.instability
-    else:
-        res = solve_stereo_posit(
-            T_prior, state.table.pos_w, track.uv4, track.tracked, cam,
-            T_prior=T_prior,
+    # --- temporal tracking (3-stage lattice) + frame pose ----------------
+    def _attempt(T_p):
+        """One track-then-solve attempt under a given pose prior (the body
+        of the reference's getPoseStereoPosit, CFundamentalMatcher.cpp:338:
+        match collection reprojets with the prior, so a retry re-collects)."""
+        tr = track_landmarks(
+            dense_l, dense_r, state.table, T_p, cam,
+            cutoff_s1=params.matching_distance_tracking,
+            cutoff_s2=params.matching_distance_tracking_stage2,
+            cutoff_ref=params.matching_distance_epipolar,
+        )
+        rs = solve_stereo_posit(
+            T_p, state.table.pos_w, tr.uv4, tr.tracked, cam,
+            T_prior=T_p,
             kernel_px2=params.posit_kernel_px2,
             min_points=params.posit_min_points,
             min_inliers=params.posit_min_inliers,
@@ -188,16 +182,49 @@ def process_frame(
             max_iterations=params.posit_max_iterations,
             convergence=params.posit_convergence,
         )
+        return tr, rs
+
+    if use_gt_pose:
+        track = track_landmarks(
+            dense_l, dense_r, state.table, T_prior, cam,
+            cutoff_s1=params.matching_distance_tracking,
+            cutoff_s2=params.matching_distance_tracking_stage2,
+            cutoff_ref=params.matching_distance_epipolar,
+        )
+        T_new = T_gt
+        posit_ok = jnp.asarray(False)
+        avg_err = jnp.asarray(0.0, jnp.float32)
+        inliers = jnp.int32(0)
+        instability = state.instability
+    else:
+        # fallback cascade (ref CTrackerSV.cpp:271-318): raw prior ->
+        # rotation-only prior (predicted rotation, LAST frame's camera
+        # center) -> keep the raw prior with instability += 5
+        track1, res1 = _attempt(T_prior)
+
+        R_prior = T_prior[:3, :3]
+        c_last = -state.T_wc[:3, :3].T @ state.T_wc[:3, 3]   # last camera center
+        T_rot = jnp.eye(4, dtype=T_prior.dtype)
+        T_rot = T_rot.at[:3, :3].set(R_prior)
+        T_rot = T_rot.at[:3, 3].set(-R_prior @ c_last)
+
+        track, res = jax.lax.cond(
+            res1.ok,
+            lambda _: (track1, res1),
+            lambda _: _attempt(T_rot),
+            None,
+        )
         posit_ok = res.ok
         avg_err = res.avg_error_px2
         inliers = res.inliers
-        # failure -> keep the prior and raise the instability counter
-        # (ref CTrackerSV.cpp:286-317)
+        # final failure -> keep the raw prior and raise the instability
+        # counter (ref CTrackerSV.cpp:286-317: +5 capped at 20, -1 decay)
         T_new = jnp.where(posit_ok, res.T_wc, T_prior)
         instability = jnp.clip(
             jnp.where(posit_ok, state.instability - 1, state.instability + 5),
             0, 20,
         )
+    n_tracked = jnp.sum(track.tracked.astype(jnp.int32))
 
     # --- measurements ----------------------------------------------------
     table = lm.add_measurements(

@@ -61,3 +61,100 @@ def test_slam_ba_gates_reject_bad_windows(loop_run):
     # the density/delta gates must have engaged at least once on this loop
     assert s.stats["ba_runs"] > 0
     # and every accepted BA kept keyframes sane (checked via finiteness above)
+
+
+def test_pose_fallback_cascade_recovers_from_bad_prior():
+    """Corrupted constant-velocity prior: the raw-prior attempt must fail,
+    the rotation-only retry (predicted rotation + last camera center, ref
+    CTrackerSV.cpp:294-307) must recover the pose."""
+    import jax.numpy as jnp
+
+    from svi_mapper_tpu.frontend.tracking import track_landmarks
+    from svi_mapper_tpu.models import frame as frame_mod
+    from svi_mapper_tpu.models.tracker import StereoTracker
+    from svi_mapper_tpu.ops.descriptors import smooth_brief_dense
+    from svi_mapper_tpu.solvers.posit import solve_stereo_posit
+
+    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=256,
+                                 max_detections=256)
+    seq = SyntheticSequence(n_frames=8, width=256, height=192, step=0.3)
+    tracker = StereoTracker(seq.cam, params)
+    frames = list(seq)
+    for (L, R, _) in frames[:6]:
+        tracker.process(L, R)
+    assert bool(tracker.outputs[-1].posit_ok)
+    assert int(tracker.state.instability) == 0
+
+    # teleport the previous pose 6 m sideways: the CV prior now predicts a
+    # 6 m jump, far beyond the tracking lattice reach
+    Tp = np.asarray(tracker.state.T_wc_prev).copy()
+    Tp[0, 3] += 6.0
+    tracker.state = tracker.state.replace(T_wc_prev=jnp.asarray(Tp))
+
+    # differential oracle: a raw-prior-only solve at frame 6 fails
+    L6, R6, _ = frames[6]
+    st = tracker.state
+    T_bad = np.asarray(frame_mod._constant_velocity_prior(st))
+    wp = -(-L6.shape[1] // 16) * 16
+    Lx = jnp.pad(jnp.asarray(L6, jnp.float32), ((0, 0), (0, wp - L6.shape[1])), mode="edge")
+    Rx = jnp.pad(jnp.asarray(R6, jnp.float32), ((0, 0), (0, wp - R6.shape[1])), mode="edge")
+    tr = track_landmarks(smooth_brief_dense(Lx), smooth_brief_dense(Rx),
+                         st.table, jnp.asarray(T_bad), seq.cam)
+    raw = solve_stereo_posit(jnp.asarray(T_bad), st.table.pos_w, tr.uv4,
+                             tr.tracked, seq.cam, T_prior=jnp.asarray(T_bad))
+    assert not bool(raw.ok), "raw corrupted prior unexpectedly succeeded"
+
+    # the full frame step recovers via the rotation-only retry
+    out = tracker.process(L6, R6)
+    assert bool(out.posit_ok), "fallback cascade did not recover the pose"
+    T_est = np.asarray(out.T_wc)
+    T_true = frames[6][2]
+    assert np.linalg.norm(T_est[:3, 3] - T_true[:3, 3]) < 0.5
+
+
+def test_instability_vetoes_local_ba():
+    """While the instability counter is > 0 the windowed BA must not run
+    (ref CTrackerSV.cpp:430)."""
+    import jax.numpy as jnp
+
+    from svi_mapper_tpu.io.synthetic import default_camera
+
+    cam = default_camera(256, 192)
+    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=128,
+                                 max_detections=128)
+    slam = SLAMSystem(cam, params, enable_loop_closure=False)
+
+    # fabricate a consistent map: landmarks in front of the camera, stereo
+    # observations projected exactly
+    L = params.max_landmarks
+    rng = np.random.default_rng(0)
+    pos_w = rng.uniform([-3, -1, 4], [3, 1, 20], (L, 3)).astype(np.float32)
+    t = slam.state.table
+    slam.state = slam.state.replace(
+        table=t.replace(uid=jnp.arange(L, dtype=jnp.int32),
+                        active=jnp.ones(L, bool),
+                        pos_w=jnp.asarray(pos_w)))
+    fx = float(cam.left.fx); cx = float(cam.left.cx); cy = float(cam.left.cy)
+    bq = float(cam.right.P[0, 3])
+
+    def kf_arrays(T_wc):
+        p_c = pos_w @ T_wc[:3, :3].T + T_wc[:3, 3]
+        u = fx * p_c[:, 0] / p_c[:, 2] + cx
+        v = fx * p_c[:, 1] / p_c[:, 2] + cy
+        d = -bq / p_c[:, 2]
+        return dict(uid=np.arange(L), active=np.ones(L, bool),
+                    optimal=np.ones(L, bool), tracked=np.ones(L, bool),
+                    uv_left=np.stack([u, v], -1).astype(np.float32),
+                    disparity=d.astype(np.float32), pos_w=pos_w,
+                    desc=rng.integers(0, 2**32, (L, 8), dtype=np.uint64).astype(np.uint32))
+
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32); T1[2, 3] = -0.5
+    T2 = np.eye(4, dtype=np.float32); T2[2, 3] = -1.0
+    slam._handle_keyframe(frame_idx=0, T_wc=T0, instability=0, **kf_arrays(T0))
+    assert slam.stats["ba_runs"] == 0          # < 2 keyframes
+    slam._handle_keyframe(frame_idx=1, T_wc=T1, instability=3, **kf_arrays(T1))
+    assert slam.stats["ba_runs"] == 0          # vetoed
+    assert slam.stats.get("ba_vetoed", 0) == 1
+    slam._handle_keyframe(frame_idx=2, T_wc=T2, instability=0, **kf_arrays(T2))
+    assert slam.stats["ba_runs"] == 1          # stable again -> BA runs
