@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from svi_mapper_tpu.config import TrackingParams
+from svi_mapper_tpu.frontend import epipolar as epi
 from svi_mapper_tpu.frontend.stereo import match_stereo
 from svi_mapper_tpu.frontend.tracking import track_landmarks
 from svi_mapper_tpu.geometry import se3
@@ -160,16 +161,25 @@ def process_frame(
     else:
         T_prior = _constant_velocity_prior(state)
 
+    # search-window motion scaling from the frame-to-frame prior delta
+    # (ref CTrackerGT.cpp:157: min(1 + 10|w| + 0.5|t|, 5))
+    ms = epi.motion_scaling(
+        jnp.matmul(T_prior, se3.inv_T(state.T_wc),
+                   precision=jax.lax.Precision.HIGHEST),
+        params.motion_scaling_cap,
+    )
+
     # --- temporal tracking (3-stage lattice) + frame pose ----------------
     def _attempt(T_p):
         """One track-then-solve attempt under a given pose prior (the body
         of the reference's getPoseStereoPosit, CFundamentalMatcher.cpp:338:
         match collection reprojets with the prior, so a retry re-collects)."""
         tr = track_landmarks(
-            dense_l, dense_r, state.table, T_p, cam,
+            dense_l, dense_r, state.table, T_p, cam, ms,
             cutoff_s1=params.matching_distance_tracking,
             cutoff_s2=params.matching_distance_tracking_stage2,
             cutoff_ref=params.matching_distance_epipolar,
+            cutoff_stereo=params.matching_distance_triangulation,
         )
         rs = solve_stereo_posit(
             T_p, state.table.pos_w, tr.uv4, tr.tracked, cam,
@@ -186,10 +196,11 @@ def process_frame(
 
     if use_gt_pose:
         track = track_landmarks(
-            dense_l, dense_r, state.table, T_prior, cam,
+            dense_l, dense_r, state.table, T_prior, cam, ms,
             cutoff_s1=params.matching_distance_tracking,
             cutoff_s2=params.matching_distance_tracking_stage2,
             cutoff_ref=params.matching_distance_epipolar,
+            cutoff_stereo=params.matching_distance_triangulation,
         )
         T_new = T_gt
         posit_ok = jnp.asarray(False)
