@@ -24,6 +24,7 @@ from flax import struct
 
 from svi_mapper_tpu.config import TrackingParams
 from svi_mapper_tpu.frontend import epipolar as epi
+from svi_mapper_tpu.frontend.recovery import regional_recovery
 from svi_mapper_tpu.frontend.stereo import match_stereo
 from svi_mapper_tpu.frontend.tracking import track_landmarks
 from svi_mapper_tpu.geometry import se3
@@ -131,6 +132,10 @@ def process_frame(
     use_gt_pose: bool = False,
     use_external_prior: bool = False,   # T_gt is a PRIOR (IMU), posit still runs
     do_landmark_opt: jax.Array | bool = True,
+    T_fallback: jax.Array | None = None,   # pose when the whole cascade fails
+                                     # (SVI: damped IMU dead reckoning with the
+                                     # x rotation zeroed, ref CTrackerSVI.cpp:548-551;
+                                     # default: keep the raw prior)
 ) -> tuple[FrameState, FrameOutput]:
     """Process one stereo frame. Compiled once per image shape."""
     # --- image preprocessing + dense descriptor fields -------------------
@@ -228,18 +233,30 @@ def process_frame(
         posit_ok = res.ok
         avg_err = res.avg_error_px2
         inliers = res.inliers
-        # final failure -> keep the raw prior and raise the instability
-        # counter (ref CTrackerSV.cpp:286-317: +5 capped at 20, -1 decay)
-        T_new = jnp.where(posit_ok, res.T_wc, T_prior)
+        # final failure -> fallback pose (raw prior, or the caller's dead
+        # reckoning) and raise the instability counter
+        # (ref CTrackerSV.cpp:286-317: +5 capped at 20, -1 decay)
+        T_fb = T_prior if T_fallback is None else T_fallback
+        T_new = jnp.where(posit_ok, res.T_wc, T_fb)
         instability = jnp.clip(
             jnp.where(posit_ok, state.instability - 1, state.instability + 5),
             0, 20,
         )
-    n_tracked = jnp.sum(track.tracked.astype(jnp.int32))
+    # --- regional detection recovery (stage-2 second chance under the
+    #     refined pose, ref CFundamentalMatcher.cpp:495-727) ---------------
+    rec = regional_recovery(
+        dense_l, dense_r, img_left, state.table, track.tracked, T_new, cam, ms,
+        cutoff=params.matching_distance_tracking_stage2,
+        cutoff_stereo=params.matching_distance_triangulation,
+    )
+    tracked_all = track.tracked | rec.recovered
+    uv4_all = jnp.where(track.tracked[:, None], track.uv4, rec.uv4)
+    desc_all = jnp.where(track.tracked[:, None], track.desc_left, rec.desc_left)
+    n_tracked = jnp.sum(tracked_all.astype(jnp.int32))
 
     # --- measurements ----------------------------------------------------
     table = lm.add_measurements(
-        state.table, track.tracked, track.uv4, track.desc_left, T_new
+        state.table, tracked_all, uv4_all, desc_all, T_new
     )
 
     # --- landmark refinement (cond: GT every frame, SV every 10 frames —
@@ -264,7 +281,7 @@ def process_frame(
 
     # --- detection of new landmarks --------------------------------------
     allowed = occupancy_mask(
-        img_left.shape, table.uv_left_last, table.active & track.tracked,
+        img_left.shape, table.uv_left_last, table.active & tracked_all,
         radius=params.detect_min_distance,
     )
     uv_new, score_new, valid_new = detect_corners(
@@ -297,7 +314,7 @@ def process_frame(
                           precision=jax.lax.Precision.HIGHEST)
     dt2 = jnp.sum(delta_kf[:3, 3] ** 2)
     dr2 = jnp.sum(se3.log_so3(delta_kf[:3, :3]) ** 2)
-    n_optimal = jnp.sum((table.active & table.is_optimal & track.tracked).astype(jnp.int32))
+    n_optimal = jnp.sum((table.active & table.is_optimal & tracked_all).astype(jnp.int32))
     is_keyframe = (
         (dt2 > params.keyframe_translation_m2) | (dr2 > params.keyframe_rotation_rad2)
     ) & (n_optimal >= params.keyframe_min_landmarks)
@@ -306,7 +323,7 @@ def process_frame(
     # (promotion rule, ref CFundamentalMatcher.cpp:203-242)
     table = table.replace(
         keyframe_presences=jnp.where(
-            is_keyframe & table.active & track.tracked,
+            is_keyframe & table.active & tracked_all,
             table.keyframe_presences + 1,
             table.keyframe_presences,
         )
