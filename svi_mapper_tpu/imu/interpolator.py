@@ -134,6 +134,79 @@ def integrate_prior(
     return jnp.matmul(delta, T_wc, precision=jax.lax.Precision.HIGHEST)
 
 
+def integrate_prior_samples(
+    T_wc: jax.Array,             # [4,4] current world->camera
+    dts: jax.Array,              # [K] per-sample time steps (s), 0-padded
+    omega: jax.Array,            # [K,3] raw IMU-frame angular velocities
+    accel: jax.Array,            # [K,3] raw IMU-frame specific forces
+    valid: jax.Array,            # [K] bool — real samples (padding False)
+    velocity: jax.Array,         # [3] camera-frame linear velocity at frame start
+    R_cam_imu: jax.Array,        # [3,3] IMU->camera rotation (rig extrinsics)
+    bias_gyro: jax.Array,        # [3] IMU-frame gyro bias
+    bias_accel: jax.Array,       # [3] IMU-frame accelerometer bias
+) -> tuple[jax.Array, jax.Array]:
+    """Per-sample IMU integration of one frame interval (``lax.scan``).
+
+    The reference extrapolates a SINGLE filtered sample over the whole
+    interval (CTrackerSVI.cpp:356-364); here every 200 Hz row integrates
+    individually — rotation composes ``prod exp(w_i dt_i)``, gravity is
+    removed per sample with the *evolving* orientation, and translation
+    accumulates ``v dt + 1/2 a dt^2`` with the velocity carried through the
+    interval. Under rotation change within the interval this is strictly
+    tighter than the reference's one-sample extrapolation.
+
+    The damped fallback applies when the total interval exceeds
+    ``MAX_DT_SECONDS`` (ref :377-398): rotation capped to the first
+    sample's rate over MAX_DT, translation zeroed.
+
+    Returns ``(T_prior, rot_total)`` — the primed pose and the integrated
+    camera-frame rotation vector (consumed by the dead-reckoning final
+    fallback that zeroes its x component, ref :548-551).
+    """
+    prec = jax.lax.Precision.HIGHEST
+    dt_f = T_wc.dtype
+    up = jnp.asarray([0.0, -1.0, 0.0], dt_f)
+    R_wc0 = T_wc[:3, :3]
+
+    w_cam = jnp.einsum("ij,kj->ki", R_cam_imu, omega - bias_gyro[None, :],
+                       precision=prec)
+    w_cam = threshold_filter(w_cam, IMPRECISION_OMEGA)
+    a_cam_raw = jnp.einsum("ij,kj->ki", R_cam_imu, accel - bias_accel[None, :],
+                           precision=prec)
+    dts = jnp.where(valid, dts, 0.0)
+
+    def step(carry, inp):
+        R_d, t_d, v = carry
+        w, a_raw, h = inp
+        # gravity removal with the orientation AT this sample
+        R_wc_i = jnp.matmul(R_d, R_wc0, precision=prec)
+        g_cam = R_wc_i @ (up * GRAVITY)
+        a_lin = threshold_filter(a_raw - g_cam, IMPRECISION_ACCEL)
+        t_d = t_d + v * h + 0.5 * a_lin * h * h
+        v = v + a_lin * h
+        R_d = jnp.matmul(se3.exp_so3(w * h), R_d, precision=prec)
+        return (R_d, t_d, v), None
+
+    init = (jnp.eye(3, dtype=dt_f), jnp.zeros(3, dt_f), velocity)
+    (R_delta, t_delta, _), _ = jax.lax.scan(step, init, (w_cam, a_cam_raw, dts))
+
+    dt_total = jnp.sum(dts)
+    rot_total = se3.log_so3(R_delta)
+
+    # damped fallback (ref CTrackerSVI.cpp:377-398)
+    damped = dt_total > MAX_DT_SECONDS
+    rot_damped = w_cam[0] * MAX_DT_SECONDS
+    rot_used = jnp.where(damped, rot_damped, rot_total)
+    t_used = jnp.where(damped, jnp.zeros_like(t_delta), t_delta)
+
+    delta = jnp.eye(4, dtype=dt_f)
+    delta = delta.at[:3, :3].set(
+        jnp.where(damped, se3.exp_so3(rot_damped), R_delta))
+    delta = delta.at[:3, 3].set(t_used)
+    T_prior = jnp.matmul(delta, T_wc, precision=prec)
+    return T_prior, rot_used
+
+
 def synthesize_measurements(
     poses_wc: np.ndarray,        # [N,4,4] ground-truth world->camera poses
     dt: float,

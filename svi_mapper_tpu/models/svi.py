@@ -57,6 +57,7 @@ class StereoInertialTracker(SLAMSystem):
         self.equalize = equalize
         self.gravity_weight = gravity_weight
         self.velocity = np.zeros(3, np.float32)       # camera-frame linear velocity
+        self._imu_sample_cap = 32      # static scan length (200 Hz / 20 Hz = 10)
         self._last_T = None
         self._last_dt = None
         self.gravity_obs: list[np.ndarray] = []       # per-keyframe down directions
@@ -93,16 +94,72 @@ class StereoInertialTracker(SLAMSystem):
         )
 
         out = self._process_with_prior(L, R, np.asarray(T_prior))
+        self._update_velocity(np.asarray(T), dt)
+        return out
 
-        # velocity from the accepted visual pose (finite difference)
-        delta = np.asarray(out.T_wc) @ np.linalg.inv(np.asarray(T))
+    def process_imu_samples(self, img_left, img_right, dts, omega, accel):
+        """One SVI frame primed by the FULL high-rate IMU stream of the
+        frame interval (per-sample integration, imu.interpolator.
+        integrate_prior_samples) — the 200 Hz path of VERDICT item 4.
+
+        Args:
+          dts:   [n] per-sample time steps in seconds.
+          omega: [n,3] raw IMU-frame angular velocities.
+          accel: [n,3] raw IMU-frame specific forces.
+        """
+        L = self.preprocess(img_left)
+        R = self.preprocess(img_right)
+        if self.rectify_maps is not None:
+            mlx, mly, mrx, mry = self.rectify_maps
+            L = remap_bilinear(L, mlx, mly)
+            R = remap_bilinear(R, mrx, mry)
+
+        # pad the sample batch to a fixed capacity so the integration scan
+        # compiles once (static shapes)
+        cap = self._imu_sample_cap
+        n = int(np.shape(dts)[0])
+        if n > cap:    # keep the most recent samples if oversupplied
+            dts, omega, accel = dts[-cap:], omega[-cap:], accel[-cap:]
+            n = cap
+        pad = cap - n
+        dts_p = np.zeros(cap, np.float32)
+        om_p = np.zeros((cap, 3), np.float32)
+        ac_p = np.zeros((cap, 3), np.float32)
+        dts_p[:n] = np.asarray(dts, np.float32)
+        om_p[:n] = np.asarray(omega, np.float32)
+        ac_p[:n] = np.asarray(accel, np.float32)
+        valid = np.arange(cap) < n
+
+        T = jnp.asarray(self.state.T_wc)
+        T_prior, rot_total = imu_mod.integrate_prior_samples(
+            T, jnp.asarray(dts_p), jnp.asarray(om_p), jnp.asarray(ac_p),
+            jnp.asarray(valid), jnp.asarray(self.velocity), self._R_ci,
+            jnp.asarray(self.calib.bias_gyro, jnp.float32),
+            jnp.asarray(self.calib.bias_accel, jnp.float32),
+        )
+        # dead-reckoning final fallback: damped rotation-only with the x
+        # component zeroed (ref CTrackerSVI.cpp:548-551)
+        rot_yz = np.asarray(rot_total).astype(np.float32)
+        rot_yz[0] = 0.0
+        T_fb = np.eye(4, dtype=np.float32)
+        T_fb[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(rot_yz)))
+        T_fb = T_fb @ np.asarray(self.state.T_wc)
+
+        out = self._process_with_prior(L, R, np.asarray(T_prior),
+                                       T_fallback=T_fb)
+        self._update_velocity(np.asarray(T), float(np.sum(dts_p)))
+        return out
+
+    def _update_velocity(self, T_before, dt):
+        """Velocity from the accepted visual pose (finite difference)."""
+        delta = np.asarray(self.state.T_wc) @ np.linalg.inv(T_before)
         xi = np.asarray(se3.log_se3(jnp.asarray(delta, jnp.float32)))
         if dt > 1e-6:
             self.velocity = (xi[:3] / dt).astype(np.float32)
-        return out
 
     # ------------------------------------------------------------------
-    def _process_with_prior(self, img_left, img_right, T_prior):
+    def _process_with_prior(self, img_left, img_right, T_prior,
+                            T_fallback=None):
         import time
 
         t0 = time.perf_counter()
@@ -117,6 +174,8 @@ class StereoInertialTracker(SLAMSystem):
             use_gt_pose=False,
             use_external_prior=True,
             do_landmark_opt=do_opt,
+            T_fallback=(None if T_fallback is None
+                        else jnp.asarray(T_fallback, jnp.float32)),
         )
         out.T_wc.block_until_ready()
         self.timings["frame_total"] += time.perf_counter() - t0

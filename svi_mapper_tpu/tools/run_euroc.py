@@ -57,12 +57,16 @@ def main() -> None:
         dt = (t - prev_t) if prev_t is not None else 0.05
         prev_t = t
         if len(imu):
-            omega = imu[:, 1:4].mean(0)
-            accel = imu[:, 4:7].mean(0)
+            # per-sample integration over the frame interval's 200 Hz rows
+            # (ref CTrackerSVI.cpp:356-399; imu rows are [t, w_xyz, a_xyz])
+            ts = imu[:, 0]
+            dts = np.diff(np.concatenate([[ts[0] - (ts[1] - ts[0])
+                                           if len(ts) > 1 else t - dt], ts]))
+            dts = np.clip(dts, 0.0, imu_mod.MAX_DT_SECONDS)
+            out = tracker.process_imu_samples(
+                L, R, dts, imu[:, 1:4], imu[:, 4:7])
         else:
-            omega = np.zeros(3)
-            accel = np.zeros(3)
-        out = tracker.process_imu(L, R, omega, accel, dt)
+            out = tracker.process_imu(L, R, np.zeros(3), np.zeros(3), dt)
         if i % 50 == 0:
             print(f"frame {i}: tracked={int(out.n_tracked)} "
                   f"active={int(out.n_active)} kf={bool(out.is_keyframe)}")

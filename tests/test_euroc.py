@@ -184,8 +184,12 @@ def test_euroc_svi_tracker_runs(tmp_path):
     for (t, L, R, imu) in seq:
         dt = (t - prev_t) if prev_t is not None else 0.05
         prev_t = t
-        om = imu[:, 1:4].mean(0) if len(imu) else np.zeros(3)
-        ac = imu[:, 4:7].mean(0) if len(imu) else np.zeros(3)
-        out = tracker.process_imu(L, R, om, ac, dt)
+        if len(imu):
+            # per-sample 200 Hz integration (run_euroc's feed)
+            dts = np.full(len(imu), 0.005, np.float32)
+            out = tracker.process_imu_samples(L, R, dts, imu[:, 1:4],
+                                              imu[:, 4:7])
+        else:
+            out = tracker.process_imu(L, R, np.zeros(3), np.zeros(3), dt)
     assert tracker.frame_count == 3
     assert np.isfinite(np.stack(tracker.trajectory)).all()
