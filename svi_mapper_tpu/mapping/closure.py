@@ -36,14 +36,18 @@ _BIG = jnp.int32(1 << 20)
 
 @dataclasses.dataclass
 class KeyframeDatabase:
-    """Fixed-capacity stack of keyframe descriptor/point pools
+    """Growable stack of keyframe descriptor/point pools
     (the batched replacement for the BoW database + per-keyframe trees).
 
-    With ``native_index=True`` a host-side C++ descriptor search tree
+    Capacity doubles when full (the reference's DB grows unbounded on the
+    heap). Closure-query shortlisting is ON by default: a bag-of-words
+    vocabulary trains automatically on the first ``vocab_train_at``
+    keyframes' descriptor pools (the reference always shortlists with a
+    pretrained DBoW2 vocabulary, CTrackerGT.cpp:39,411 — training in-run
+    replaces shipping a vocabulary file). With ``native_index=True`` a
+    host-side C++ descriptor search tree
     (:class:`svi_mapper_tpu.native.DescriptorIndex`, the CBITree/DBoW2
-    analog) shadows the pools and shortlists closure candidates in
-    sublinear time — the device all-pairs scoring then only scans the
-    shortlist instead of every stored keyframe.
+    analog) shortlists instead.
     """
 
     capacity: int
@@ -56,11 +60,19 @@ class KeyframeDatabase:
     n: int = 0             # number of keyframes stored
     index: object | None = None  # optional native DescriptorIndex
     bow: object | None = None    # optional mapping.vocabulary.BowDatabase
+    auto_vocab: bool = True      # train the BoW vocabulary in-run
+    vocab_train_at: int = 8      # keyframes accumulated before training
 
     @classmethod
     def create(cls, capacity: int = 512, pool_size: int = 256,
                native_index: bool = False,
-               vocabulary: object | None = None) -> "KeyframeDatabase":
+               vocabulary: object | None = None,
+               auto_vocab: bool = True) -> "KeyframeDatabase":
+        """Default shortlisting = in-run BoW (the reference's DBoW2 role);
+        the native tree index is opt-in — its single-leaf NN votes have
+        lower recall than BoW scoring under viewpoint drift, matching the
+        reference where the tree serves per-candidate matching, not place
+        recognition."""
         index = None
         if native_index:
             from svi_mapper_tpu import native
@@ -72,6 +84,7 @@ class KeyframeDatabase:
             from svi_mapper_tpu.mapping.vocabulary import BowDatabase
 
             bow = BowDatabase(vocabulary, capacity=capacity)
+            auto_vocab = False
         return cls(
             capacity=capacity,
             pool_size=pool_size,
@@ -82,11 +95,49 @@ class KeyframeDatabase:
             T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)).copy(),
             index=index,
             bow=bow,
+            auto_vocab=auto_vocab,
         )
+
+    def _grow(self) -> None:
+        """Double the pool capacity (amortized O(1) per keyframe)."""
+        pad = self.capacity
+        P = self.pool_size
+        self.desc = jnp.concatenate(
+            [self.desc, jnp.zeros((pad, P, 8), jnp.uint32)])
+        self.p_cam = jnp.concatenate(
+            [self.p_cam, jnp.zeros((pad, P, 3), jnp.float32)])
+        self.valid = jnp.concatenate(
+            [self.valid, jnp.zeros((pad, P), jnp.bool_)])
+        self.count = jnp.concatenate(
+            [self.count, jnp.zeros((pad,), jnp.int32)])
+        self.T_wc = jnp.concatenate(
+            [self.T_wc,
+             jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (pad, 4, 4))])
+        self.capacity *= 2
+
+    def _train_vocab(self) -> None:
+        """In-run vocabulary training over the stored pools (the shipped-
+        vocabulary replacement; ref brief_k10L6.voc.gz, CTrackerGT.cpp:39)."""
+        from svi_mapper_tpu.mapping.vocabulary import BowDatabase, build_vocabulary
+
+        counts = np.asarray(self.count[: self.n])
+        descs = [np.asarray(self.desc[k])[: int(counts[k])]
+                 for k in range(self.n)]
+        alld = np.concatenate(descs)
+        if len(alld) < 64:
+            return
+        doc_ids = np.concatenate(
+            [np.full(len(d), k, np.int32) for k, d in enumerate(descs)])
+        vocab = build_vocabulary(alld, k=8, levels=3, iters=4,
+                                 doc_ids=doc_ids)
+        self.bow = BowDatabase(vocab, capacity=max(self.capacity, 1024))
+        for d in descs:
+            self.bow.add(d)
 
     def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray) -> int:
         """Append one keyframe pool (truncated/padded to pool_size)."""
-        assert self.n < self.capacity, "keyframe database full"
+        if self.n >= self.capacity:
+            self._grow()
         P = self.pool_size
         n = min(len(desc), P)
         d = np.zeros((P, 8), np.uint32)
@@ -106,6 +157,9 @@ class KeyframeDatabase:
             self.index.add(d[:n], k)
         if self.bow is not None:
             self.bow.add(d[:n])
+        elif self.auto_vocab and self.index is None \
+                and self.n >= self.vocab_train_at:
+            self._train_vocab()
         return k
 
     def snapshot(self) -> "KeyframeDatabase":
@@ -161,9 +215,9 @@ def match_pools(
 ):
     """Mutual-nearest matching of two keyframe pools -> aligned point pairs.
 
-    Returns (pq [P,3], pr [P,3], ok [P]): for each query-pool slot, the
-    matched reference point (one-to-one enforced, ref CBPTree.h:41-50 /
-    _getMatchNN CTrackerGT.cpp:648-678).
+    Returns (pq [P,3], pr [P,3], ok [P], fwd [P]): for each query-pool
+    slot, the matched reference point and its pool slot index (one-to-one
+    enforced, ref CBPTree.h:41-50 / _getMatchNN CTrackerGT.cpp:648-678).
     """
     x = desc_q[:, None, :] ^ desc_r[None, :, :]
     d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
@@ -173,7 +227,7 @@ def match_pools(
     dist = jnp.take_along_axis(d, fwd[:, None], axis=1)[:, 0]
     mutual = bwd[fwd] == jnp.arange(d.shape[0])
     ok = mutual & (dist <= cutoff) & valid_q
-    return p_q, p_r[fwd], ok
+    return p_q, p_r[fwd], ok, fwd
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +288,11 @@ class ClosureCandidate:
     T_qr: np.ndarray      # measured relative transform (query <- ref frame)
     inliers: int
     matches: int
+    # ICP-inlier correspondence slots (query_pool_slot, ref_pool_slot) —
+    # the raw material for landmark-identity closure constraints
+    # (ref EdgePointXYZ, Cg2oOptimizer.cpp:444-459)
+    pairs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.int32))
 
 
 def find_closures(
@@ -280,9 +339,13 @@ def find_closures(
     elif db.index is not None:
         # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
         # descriptor best-leaf vote counts per keyframe — same score
-        # semantics as score_pools but sublinear in stored descriptors
+        # semantics as score_pools but sublinear in stored descriptors.
+        # Votes are bounded to pre-exclusion keyframes so the query
+        # keyframe's own (already-inserted) descriptors cannot shadow the
+        # revisited one (the reference queries before adding, CTrackerGT:411)
         q = np.asarray(desc_q)[np.asarray(valid_q)]
-        votes = db.index.query(q, cutoff=hamming_cutoff)
+        votes = db.index.query(q, cutoff=hamming_cutoff,
+                               max_keyframe=max(0, query_kf - exclude_recent))
         scores = np.zeros(db.desc.shape[0], np.int32)
         scores[: len(votes)] = votes
     else:
@@ -301,7 +364,7 @@ def find_closures(
 
     results = []
     for c in cand_idx:
-        pq, pr, ok = match_pools(
+        pq, pr, ok, fwd = match_pools(
             desc_q, p_q, valid_q, db.desc[c], db.p_cam[c], db.valid[c],
             cutoff=hamming_cutoff,
         )
@@ -313,6 +376,16 @@ def find_closures(
         res = align_clouds(pq, pr, ok, T_init=jnp.asarray(T_init, jnp.float32),
                            **(icp_kwargs or {}))
         if bool(res.ok):
+            # post-ICP inlier correspondences: the same inlier rule the
+            # acceptance gates use (solvers.icp, ref CTrackerGT.cpp:524)
+            in_m2 = (icp_kwargs or {}).get("inlier_m2", 1.0)
+            T = np.asarray(res.T_qr)
+            q = np.asarray(pr) @ T[:3, :3].T + T[:3, 3]
+            err2 = np.sum((q - np.asarray(pq)) ** 2, -1)
+            inl = np.asarray(ok) & (err2 < in_m2)
+            slots_q = np.nonzero(inl)[0].astype(np.int32)
+            pairs = np.stack(
+                [slots_q, np.asarray(fwd)[slots_q].astype(np.int32)], -1)
             results.append(
                 ClosureCandidate(
                     query_kf=query_kf,
@@ -320,6 +393,7 @@ def find_closures(
                     T_qr=np.asarray(res.T_qr),
                     inliers=int(res.inliers),
                     matches=n_matches,
+                    pairs=pairs,
                 )
             )
     return results

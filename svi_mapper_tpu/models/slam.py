@@ -50,6 +50,11 @@ class ClosureEdge:
     query_kf: int
     T_qr: np.ndarray
     accepted: bool = False
+    # matched landmark identities (uid_query, uid_ref) of the ICP inliers —
+    # the landmark-identity closure constraints (ref EdgePointXYZ with zero
+    # measurement + fixed reference, Cg2oOptimizer.cpp:444-459)
+    uid_pairs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.int64))
 
 
 class SLAMSystem(StereoTracker):
@@ -68,6 +73,7 @@ class SLAMSystem(StereoTracker):
         max_keyframes: int = 512,
         pool_size: int = 256,
         native_index: bool = False,
+        auto_vocab: bool = True,            # train the BoW shortlist in-run
         async_closure: bool = False,
         graph_snapshot_dir: str | None = None,
     ):
@@ -78,13 +84,26 @@ class SLAMSystem(StereoTracker):
         self.ba_max_points = ba_max_points
         self.consensus_window = consensus_window
         self.db = closure_mod.KeyframeDatabase.create(
-            max_keyframes, pool_size, native_index=native_index
+            max_keyframes, pool_size, native_index=native_index,
+            auto_vocab=auto_vocab,
         )
         self.slam_keyframes: list[SLAMKeyframe] = []
         self.closure_candidates: list[ClosureEdge] = []
         self.accepted_closures: list[ClosureEdge] = []
         self.stats = {"closures_found": 0, "closures_accepted": 0, "ba_runs": 0,
                       "pose_graph_runs": 0}
+        # landmark-identity merge state: union-find over uids (accepted
+        # closures identify re-observed landmarks; the canonical uid is the
+        # OLDEST — ref fixes the reference-side vertex, Cg2o:444-459) and
+        # a tombstone set of excised (insane) landmarks (ref erasure of bad
+        # vertices post-BA, Cg2oOptimizer.cpp:1486-1504)
+        self._uid_parent: dict[int, int] = {}
+        self._excised_uids: set[int] = set()
+        # incremental full-graph BA bookkeeping: the next run optimizes
+        # keyframes [_last_opt_kf - 1 ..) (ref m_uIDOptimizedKeyFrameLAST,
+        # Cg2oOptimizer.cpp:232-522)
+        self._last_opt_kf = 0
+        self.incremental_ba_max_window = 64
         # async loop closure: the reference searches closures INLINE in the
         # frame loop (CTrackerGT.cpp:257); here the search (BoW-analog pool
         # scoring + ICP validation — the expensive, read-only part) runs on
@@ -132,7 +151,9 @@ class SLAMSystem(StereoTracker):
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             t0 = time.perf_counter()
-            T_sl = None if T_gt is None else jnp.asarray(T_gt[s:e], jnp.float32)
+            T_sl = None if T_gt is None else jnp.asarray(
+                np.asarray(T_gt[s:e], np.float64)
+                @ self._translate4(self.world_offset), jnp.float32)
             self.state, stacked, snaps = frame_mod.process_chunk(
                 self.state, Lj[s:e], Rj[s:e], self.cam, self.params, T_sl,
                 use_gt_pose=self.use_gt_pose,
@@ -174,6 +195,7 @@ class SLAMSystem(StereoTracker):
                     )
                     # anchor the recorded trajectory at the corrected pose
                     self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+            self._maybe_world_shift()
         return outs
 
     # ------------------------------------------------------------------
@@ -236,6 +258,11 @@ class SLAMSystem(StereoTracker):
         if (self.enable_local_ba and len(self.slam_keyframes) >= 2
                 and instability == 0):
             self._local_ba()
+            # incremental full-graph stage every N keyframes (ref BA cadence
+            # CTrackerGT.h:70 optimize-every-20 + Cg2oOptimizer.cpp:232-522)
+            if (len(self.slam_keyframes) - self._last_opt_kf
+                    >= self.params.optimize_every_keyframes):
+                self._incremental_ba()
         elif instability > 0:
             self.stats["ba_vetoed"] = self.stats.get("ba_vetoed", 0) + 1
 
@@ -284,8 +311,18 @@ class SLAMSystem(StereoTracker):
     def _apply_found_closures(self, found, kf_index: int) -> None:
         self.stats["closures_found"] += len(found)
         for c in found:
+            # resolve matched pool slots to landmark uids (pool slot i of
+            # keyframe k holds uid pool_uids[i] — same selection order as
+            # db.add in _handle_keyframe)
+            uq = self.slam_keyframes[c.query_kf].pool_uids
+            ur = self.slam_keyframes[c.ref_kf].pool_uids
+            pairs = c.pairs[(c.pairs[:, 0] < len(uq)) & (c.pairs[:, 1] < len(ur))]
+            uid_pairs = np.stack(
+                [uq[pairs[:, 0]], ur[pairs[:, 1]]], -1).astype(np.int64) \
+                if len(pairs) else np.zeros((0, 2), np.int64)
             self.closure_candidates.append(
-                ClosureEdge(ref_kf=c.ref_kf, query_kf=c.query_kf, T_qr=c.T_qr)
+                ClosureEdge(ref_kf=c.ref_kf, query_kf=c.query_kf, T_qr=c.T_qr,
+                            uid_pairs=uid_pairs)
             )
         # windowed consensus over recent candidates
         # (ref ClosureBuffer + LoopClosureChecker, Cg2oOptimizer.cpp:267-325)
@@ -322,7 +359,86 @@ class SLAMSystem(StereoTracker):
             self.stats["closures_accepted"] += len(newly)
             self._snapshot_graph("pre")
             self._optimize_pose_graph()
+            # landmark-identity constraints: merge re-observed duplicates,
+            # then reconcile the MAP (not just the trajectory) over the
+            # closed loop with the incremental full-graph BA
+            merged = 0
+            for c in newly:
+                merged += self._merge_closure_landmarks(c)
+            if self.enable_local_ba:
+                self._incremental_ba(
+                    lo=min(c.ref_kf for c in newly))
             self._snapshot_graph("post")
+
+    # ------------------------------------------------------------------
+    # landmark identity merging (ref EdgePointXYZ closure constraints,
+    # Cg2oOptimizer.cpp:444-459 — realized as hard identity: re-observed
+    # duplicates collapse onto the oldest uid, so BA sees ONE landmark with
+    # observations from both sides of the loop)
+    # ------------------------------------------------------------------
+    def _uid_find(self, u: int) -> int:
+        root = u
+        while self._uid_parent.get(root, root) != root:
+            root = self._uid_parent[root]
+        while self._uid_parent.get(u, u) != u:       # path compression
+            self._uid_parent[u], u = root, self._uid_parent[u]
+        return root
+
+    def _uid_union(self, a: int, b: int) -> bool:
+        ra, rb = self._uid_find(int(a)), self._uid_find(int(b))
+        if ra == rb:
+            return False
+        hi, lo = (ra, rb) if ra > rb else (rb, ra)   # canonical = oldest uid
+        self._uid_parent[hi] = lo
+        return True
+
+    def _canon_uids(self, uids: np.ndarray) -> np.ndarray:
+        """Vectorized canonical-uid map (identity for unmerged uids)."""
+        if not self._uid_parent:
+            return uids
+        out = uids.copy()
+        uniq = np.unique(uids)
+        lut = {int(u): self._uid_find(int(u)) for u in uniq if int(u) >= 0}
+        changed = {u: c for u, c in lut.items() if c != u}
+        if not changed:
+            return out
+        for u, c in changed.items():
+            out[uids == u] = c
+        return out
+
+    def _merge_closure_landmarks(self, edge: ClosureEdge) -> int:
+        """Union the matched uid pairs of an accepted closure and collapse
+        duplicate live-table rows onto the canonical landmark."""
+        n_new = 0
+        for (uq, ur) in edge.uid_pairs:
+            if int(uq) < 0 or int(ur) < 0 or int(uq) == int(ur):
+                continue
+            if self._uid_union(int(uq), int(ur)):
+                n_new += 1
+        if n_new == 0:
+            return 0
+        # rewrite live-table uids to canonical; where two active rows now
+        # share an identity, keep the better-observed one
+        t = self.state.table
+        uid_np = np.asarray(t.uid)
+        canon = self._canon_uids(uid_np)
+        active = np.asarray(t.active).copy()
+        meas = np.asarray(t.meas_count)
+        order = np.argsort(-meas, kind="stable")
+        seen: dict[int, int] = {}
+        for row in order:
+            u = int(canon[row])
+            if not active[row] or u < 0:
+                continue
+            if u in seen:
+                active[row] = False
+            else:
+                seen[u] = row
+        self.state = self.state.replace(table=t.replace(
+            uid=jnp.asarray(canon, jnp.int32), active=jnp.asarray(active)))
+        self.stats["landmarks_merged"] = (
+            self.stats.get("landmarks_merged", 0) + n_new)
+        return n_new
 
     def _snapshot_graph(self, tag: str) -> None:
         """g2o snapshot around each optimization (ref Cg2oOptimizer.cpp:493-514)."""
@@ -445,10 +561,14 @@ class SLAMSystem(StereoTracker):
         # OPTIMIZED trajectory is reconstructed via optimized_trajectory()
 
     # ------------------------------------------------------------------
-    def _assemble_ba_window(self, kfs: list[SLAMKeyframe]):
+    def _assemble_ba_window(self, kfs: list[SLAMKeyframe], K: int | None = None):
         """Vectorized observation-tensor assembly for a keyframe window:
         returns (uids [L0], obs [K,Lpad,4], mask [K,Lpad], X0 [Lpad,3]) with
-        shapes padded to buckets, or None if under-constrained."""
+        shapes padded to buckets, or None if under-constrained.
+
+        Observation uids are mapped through the closure identity merges
+        (duplicates collapse onto one column — the landmark-identity
+        constraint in effect) and excised landmarks are dropped."""
         K0 = len(kfs)
         all_uids = np.concatenate([kf.obs_uids for kf in kfs]).astype(np.int64)
         all_uv = np.concatenate([kf.obs_uv4 for kf in kfs])
@@ -456,14 +576,26 @@ class SLAMSystem(StereoTracker):
             [np.full(len(kf.obs_uids), k, np.int32) for k, kf in enumerate(kfs)])
         if len(all_uids) == 0:
             return None
+        all_uids = self._canon_uids(all_uids)
+        if self._excised_uids:
+            dead = np.isin(all_uids,
+                           np.fromiter(self._excised_uids, np.int64))
+            all_uids = np.where(dead, -1, all_uids)
+        ok_obs = all_uids >= 0
         uids, inv = np.unique(all_uids, return_inverse=True)
+        # duplicate observations of one landmark in the SAME keyframe (a
+        # merged pair seen twice) keep the first occurrence only
         if len(uids) < 8:
             return None
-        keep = inv < self.ba_max_points
-        uids = uids[: self.ba_max_points]
+        keep = ok_obs & (inv < self.ba_max_points + (uids[0] < 0))
+        drop_neg = int(uids[0] < 0)
+        uids = uids[drop_neg: drop_neg + self.ba_max_points]
+        inv = inv - drop_neg
         L0 = len(uids)
+        if L0 < 8:
+            return None
         Lpad = self._bucket(max(L0, 64), 64)
-        K = self.ba_window
+        K = self.ba_window if K is None else K
 
         obs = np.zeros((K, Lpad, 4), np.float32)
         mask = np.zeros((K, Lpad), bool)
@@ -499,62 +631,151 @@ class SLAMSystem(StereoTracker):
 
     def _local_ba(self) -> None:
         """Windowed Schur BA over the last ``ba_window`` keyframes
-        (the full-graph stage, Cg2oOptimizer.cpp:394-522)."""
+        (the per-keyframe refinement; the growing-range stage is
+        _incremental_ba, ref Cg2oOptimizer.cpp:394-522)."""
         kfs = self.slam_keyframes[-self.ba_window:]
+        if len(kfs) < 2:
+            return
+        self._run_ba(kfs, self.ba_window, max_chunks=1, correction_cap=0.5)
+
+    def _incremental_ba(self, lo: int | None = None) -> None:
+        """Incremental full-graph BA: optimize from the last-optimized
+        keyframe forward over the growing graph, LM chunks of 10 until the
+        chi^2 gain drops below 1%, then excise insane landmarks
+        (ref Cg2oOptimizer::optimize + _optimizeUnLimited,
+        Cg2oOptimizer.cpp:232-522, 954-980; excision :1486-1504).
+
+        ``lo`` optionally widens the range backward (a closure's reference
+        keyframe must join the optimization so the loop reconciles)."""
+        n = len(self.slam_keyframes)
+        start = max(0, self._last_opt_kf - 1)
+        if lo is not None:
+            start = min(start, lo)
+        start = max(start, n - self.incremental_ba_max_window)
+        kfs = self.slam_keyframes[start:]
+        if len(kfs) < 2:
+            return
+        K = self._bucket(len(kfs), 8)
+        ok = self._run_ba(kfs, K, max_chunks=10, correction_cap=None,
+                          excise=True)
+        if ok:
+            self._last_opt_kf = n
+
+    def _run_ba(self, kfs, K: int, *, max_chunks: int,
+                correction_cap: float | None, excise: bool = False) -> bool:
+        """Shared BA driver: assemble, LM chunks of 10 with the <1% chi^2
+        stopping rule across chunks (ref Cg2oOptimizer.cpp:954-980),
+        gates, write-back, optional insane-landmark excision."""
         K0 = len(kfs)
-        if K0 < 2:
-            return
-        asm = self._assemble_ba_window(kfs)
+        asm = self._assemble_ba_window(kfs, K)
         if asm is None:
-            return
+            return False
         uids, obs, mask, X0, slot_pad = asm
-        K = self.ba_window
 
         T0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         T0[:K0] = np.stack([kf.T_wc for kf in kfs]).astype(np.float32)
         fix = np.zeros(K, bool); fix[0] = True; fix[K0:] = True
-        res = ba_mod.bundle_adjust(
-            jnp.asarray(T0), jnp.asarray(X0), jnp.asarray(obs), jnp.asarray(mask),
-            self.cam, jnp.asarray(fix),
-            kernel_px2=self.params.posit_kernel_px2,
-        )
+
+        # pose-pose odometry chain anchored to the CURRENT (post-pose-graph)
+        # keyframe chain, information 1e5/(1 + |dt|^2) as in the reference
+        # full graph (Cg2oOptimizer.cpp:1258-1266; measurements updated by
+        # back-propagation :1552-1603 — hence "current" chain, not raw VO)
+        odo_M = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        odo_w = np.zeros(K, np.float32)
+        if K0 >= 2:
+            D = np.matmul(T0[1:K0],
+                          np.linalg.inv(T0[: K0 - 1].astype(np.float64))
+                          ).astype(np.float32)
+            odo_M[: K0 - 1] = D
+            odo_w[: K0 - 1] = 1e5 / (1.0 + np.sum(D[:, :3, 3] ** 2, -1))
+
+        T_cur, X_cur = jnp.asarray(T0), jnp.asarray(X0)
+        obs_j, mask_j, fix_j = jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(fix)
+        odo_Mj, odo_wj = jnp.asarray(odo_M), jnp.asarray(odo_w)
+        chi2_init = None
+        chi2_prev = None
+        for _ in range(max_chunks):
+            res = ba_mod.bundle_adjust(
+                T_cur, X_cur, obs_j, mask_j, self.cam, fix_j,
+                kernel_px2=self.params.posit_kernel_px2,
+                max_iterations=10,
+                odo_M=odo_Mj, odo_w=odo_wj,
+            )
+            if chi2_init is None:
+                chi2_init = float(res.chi2_initial)
+                chi2_prev = chi2_init
+            chi2_new = float(res.chi2_final)
+            if not np.isfinite(chi2_new) or chi2_new > chi2_prev:
+                break
+            T_cur, X_cur = res.T_wc, res.points_w
+            gain = (chi2_prev - chi2_new) / max(chi2_prev, 1e-12)
+            chi2_prev = chi2_new
+            if gain < 0.01:
+                break
         self.stats["ba_runs"] += 1
-        if not np.isfinite(float(res.chi2_final)) or float(res.chi2_final) > float(res.chi2_initial):
-            return
-        T_opt = np.asarray(res.T_wc)[:K0]
-        X_opt = np.asarray(res.points_w)
+        if chi2_init is None or chi2_prev > chi2_init:
+            return False
+
+        T_opt = np.asarray(T_cur)[:K0]
+        X_opt = np.asarray(X_cur)
         T0 = T0[:K0]
         # sanity gate on the correction magnitude (the BA analog of the
         # posit RISK check, CSolverStereoPosit.h:89-98): a window BA must
-        # not teleport keyframes
-        if np.abs(T_opt - T0).max() > 0.5:
+        # not teleport keyframes. The incremental run after a closure is
+        # EXPECTED to move keyframes by the loop-drift magnitude, so the
+        # cap only applies to the per-keyframe refinement.
+        if correction_cap is not None and np.abs(T_opt - T0).max() > correction_cap:
             self.stats["ba_rejected"] = self.stats.get("ba_rejected", 0) + 1
-            return
+            return False
+
+        # insane-vertex excision (ref _applyOptimizationToLandmarks erasure,
+        # Cg2oOptimizer.cpp:1486-1504): landmarks whose post-BA mean
+        # reprojection error stays far outside the robust kernel, or that
+        # land behind an observing camera, leave the map
+        bad = np.zeros(X_opt.shape[0], bool)
+        if excise:
+            err2, depth = ba_mod.reprojection_stats(
+                jnp.asarray(T_opt), jnp.asarray(X_opt),
+                obs_j[:K0], mask_j[:K0], self.cam)
+            err2, depth = np.asarray(err2), np.asarray(depth)
+            seen = mask[:K0].any(0)
+            bad = seen & ((err2 > 4.0 * self.params.posit_kernel_px2)
+                          | (depth < 0.01))
+            for u in uids[bad[: len(uids)]]:
+                self._excised_uids.add(int(u))
+            if bad.any():
+                self.stats["landmarks_excised"] = (
+                    self.stats.get("landmarks_excised", 0) + int(bad.sum()))
 
         # write back keyframe poses
         for k, kf in enumerate(kfs):
             kf.T_wc = T_opt[k]
-        # write back landmark positions (only BA'd, still-live landmarks)
+        # write back landmark positions (only BA'd, still-live landmarks);
+        # excised landmarks deactivate instead
         used = mask.any(0) & (slot_pad >= 0)
+        t = self.state.table
         if used.any():
-            slots_j = jnp.asarray(slot_pad[used])
-            pos_j = jnp.asarray(X_opt[used], jnp.float32)
-            t = self.state.table
+            slots_j = jnp.asarray(slot_pad[used & ~bad])
+            pos_j = jnp.asarray(X_opt[used & ~bad], jnp.float32)
             # BA'd landmarks also get their measurement rings cleared — the
             # stored observation poses predate the correction and would make
             # the per-frame landmark GN fight the BA result (the reference
             # clears measurement histories on optimization,
             # CLandmark::clearMeasurements CLandmark.cpp:299)
-            self.state = self.state.replace(
-                table=t.replace(
-                    pos_w=t.pos_w.at[slots_j].set(pos_j),
-                    meas_count=t.meas_count.at[slots_j].set(0),
-                    meas_next=t.meas_next.at[slots_j].set(0),
-                )
+            table = t.replace(
+                pos_w=t.pos_w.at[slots_j].set(pos_j),
+                meas_count=t.meas_count.at[slots_j].set(0),
+                meas_next=t.meas_next.at[slots_j].set(0),
             )
+            if bad.any():
+                dead_slots = jnp.asarray(slot_pad[used & bad])
+                table = table.replace(
+                    active=table.active.at[dead_slots].set(False))
+            self.state = self.state.replace(table=table)
         # attach the live pose rigidly to the corrected last keyframe
         # (landmarks were updated DIRECTLY by BA above — no map transform)
         self._attach_live_to_keyframe(T0[-1], T_opt[-1])
+        return True
 
     # ------------------------------------------------------------------
     def optimized_trajectory(self) -> np.ndarray:
@@ -577,5 +798,27 @@ class SLAMSystem(StereoTracker):
             # anchor = the recorded (post-spawn-correction) keyframe pose;
             # rigid attachment: out[i] inv(kf.T_wc) == raw[i] inv(anchor)
             anchor = raw[kf.frame_idx]
-            out[i] = raw[i] @ np.linalg.inv(anchor) @ kf.T_wc
+            # raw[i] @ inv(anchor) is frame-invariant; the keyframe pose
+            # converts from the internal (robocentric) to the output frame
+            out[i] = raw[i] @ np.linalg.inv(anchor) @ self._to_output(kf.T_wc)
         return out
+
+    def _world_shift(self, c: np.ndarray) -> None:
+        """Robocentric rebase extended to the back-end state: keyframe
+        poses, the closure database, and the chunk gauge accumulators all
+        move into the new internal frame (ref m_vecTranslationToG2o is
+        threaded through every g2o call, CTrackerGT.h:84)."""
+        super()._world_shift(c)
+        Tc = self._translate4(c)
+        for kf in self.slam_keyframes:
+            kf.T_wc = np.asarray(kf.T_wc, np.float64) @ Tc
+        n = len(self.slam_keyframes)
+        if n:
+            Tdb = np.asarray(self.db.T_wc)
+            Tdb[:n] = (Tdb[:n].astype(np.float64) @ Tc).astype(np.float32)
+            self.db.T_wc = jnp.asarray(Tdb)
+        # the shift is a world correction G = Translate(-c) for snapshots
+        # still pending in the current chunk
+        G = self._translate4(-c)
+        self._corr_P = G @ self._corr_P
+        self._corr_M = self._corr_M @ Tc

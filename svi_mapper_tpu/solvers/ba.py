@@ -89,6 +89,16 @@ def _chi2(r, w_mask):
     return jnp.sum(w_mask * jnp.sum(r * r, axis=-1))
 
 
+def _adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint [[R, hat(t) R], [0, R]] for batched [.,4,4]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = jnp.matmul(se3.hat(t), R, precision=_PREC)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def bundle_adjust(
     T_wc: jax.Array,          # [K,4,4]
@@ -103,6 +113,12 @@ def bundle_adjust(
     lm_lambda0: float = 1e-4,
     point_damping: float = 1e-6,
     min_rel_improvement: float = 0.01,   # ref <1% chi2 stop (Cg2o:966-977)
+    odo_M: jax.Array | None = None,      # [K,4,4] pose-pose chain measurements
+                                         # (entry k: T_{k+1} <- k; the
+                                         # reference's EdgeSE3 chain in the
+                                         # full graph, Cg2o:1258-1266)
+    odo_w: jax.Array | None = None,      # [K] edge weights (0 disables; last
+                                         # entry unused)
 ) -> BAResult:
     fx, fy = cam.left.fx, cam.left.fy
     cx, cy = cam.left.cx, cam.left.cy
@@ -117,8 +133,37 @@ def bundle_adjust(
         w = jnp.where(err2 > kernel_px2, kernel_px2 / jnp.maximum(err2, 1e-12), 1.0)
         return w * maskf
 
+    # pose-pose odometry chain (ref EdgeSE3 full-graph edges,
+    # Cg2oOptimizer.cpp:1258-1266): keeps weakly-observed keyframes anchored
+    # to the (post-pose-graph) trajectory while reprojection terms refine
+    use_odo = odo_M is not None
+
+    def _se3_inv_batch(T):
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        Rt = jnp.swapaxes(R, -1, -2)
+        ti = -jnp.einsum("...ij,...j->...i", Rt, t, precision=_PREC)
+        out = jnp.broadcast_to(jnp.eye(4, dtype=T.dtype), T.shape)
+        return out.at[..., :3, :3].set(Rt).at[..., :3, 3].set(ti)
+
+    if use_odo:
+        odo_Minv = _se3_inv_batch(odo_M[: K - 1])
+        wo = odo_w[: K - 1]
+
+    def odo_residuals(T):
+        Dk = jnp.matmul(T[1:], _se3_inv_batch(T[:-1]), precision=_PREC)
+        r_o = jax.vmap(se3.log_se3)(
+            jnp.matmul(Dk, odo_Minv, precision=_PREC))           # [K-1,6]
+        return Dk, r_o
+
+    def odo_chi2(T):
+        if not use_odo:
+            return jnp.asarray(0.0, dtype)
+        _, r_o = odo_residuals(T)
+        return jnp.sum(wo * jnp.sum(r_o * r_o, axis=-1))
+
     r0, _ = _residuals(T_wc, points_w, obs_uv, fx, fy, cx, cy, bq)
-    chi2_init = _chi2(r0, robust_w(r0))
+    chi2_init = _chi2(r0, robust_w(r0)) + odo_chi2(T_wc)
 
     def lm_step(carry):
         T, X, lam, chi2_prev, it, done = carry
@@ -167,6 +212,24 @@ def bundle_adjust(
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(H_pp)
         rhs = b_p - jnp.matmul(A, b_l.reshape(L * 3), precision=_PREC).reshape(K, 6)
 
+        if use_odo:
+            # J_{k+1} = I, J_k = -Adj(D_k) (left-multiplicative updates)
+            Dk, r_o = odo_residuals(T)
+            Adj = _adjoint(Dk)                                    # [K-1,6,6]
+            AdjT = Adj.transpose(0, 2, 1)
+            ks = jnp.arange(K - 1)
+            wk = wo[:, None, None]
+            eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (K - 1, 6, 6))
+            S = S.at[ks + 1, :, ks + 1, :].add(wk * eye6)
+            S = S.at[ks, :, ks, :].add(
+                wk * jnp.matmul(AdjT, Adj, precision=_PREC))
+            S = S.at[ks, :, ks + 1, :].add(-wk * AdjT)
+            S = S.at[ks + 1, :, ks, :].add(-wk * Adj)
+            rhs = rhs.at[ks + 1].add(wo[:, None] * r_o)
+            rhs = rhs.at[ks].add(
+                -wo[:, None] * jnp.einsum("kji,kj->ki", Adj, r_o,
+                                          precision=_PREC))
+
         # gauge fixing: zero out rows/cols of fixed poses, identity diagonal
         free = (~fix_mask).astype(dtype)                          # [K]
         Sm = S * free[:, None, None, None] * free[None, None, :, None]
@@ -193,7 +256,7 @@ def bundle_adjust(
         X_new = X + dx
 
         r_new, _ = _residuals(T_new, X_new, obs_uv, fx, fy, cx, cy, bq)
-        chi2_new = _chi2(r_new, robust_w(r_new))
+        chi2_new = _chi2(r_new, robust_w(r_new)) + odo_chi2(T_new)
         accept = chi2_new < chi2_prev
         T = jnp.where(accept, T_new, T)
         X = jnp.where(accept, X_new, X)
@@ -216,3 +279,25 @@ def bundle_adjust(
         T_wc=T_f, points_w=X_f,
         chi2_initial=chi2_init, chi2_final=chi2_f, iterations=iters,
     )
+
+
+@jax.jit
+def reprojection_stats(
+    T_wc: jax.Array,          # [K,4,4]
+    points_w: jax.Array,      # [L,3]
+    obs_uv: jax.Array,        # [K,L,4]
+    obs_mask: jax.Array,      # [K,L] bool
+    cam: StereoCamera,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-landmark post-BA health: (mean squared reprojection error [L],
+    minimum observing-camera depth [L]) — the excision criteria of the
+    reference's _applyOptimizationToLandmarks (Cg2oOptimizer.cpp:1486-1504)."""
+    fx, fy = cam.left.fx, cam.left.fy
+    cx, cy = cam.left.cx, cam.left.cy
+    bq = cam.right.P[0, 3]
+    r, p_c = _residuals(T_wc, points_w, obs_uv, fx, fy, cx, cy, bq)
+    m = obs_mask.astype(r.dtype)
+    n = jnp.maximum(jnp.sum(m, axis=0), 1.0)                    # [L]
+    err2 = jnp.sum(m * jnp.sum(r * r, axis=-1), axis=0) / n
+    depth = jnp.min(jnp.where(obs_mask, p_c[..., 2], jnp.inf), axis=0)
+    return err2, depth

@@ -53,7 +53,7 @@ def main() -> None:
         for j in range(i + 1, len(clouds)):
             dq, pq, vq = pools[i]
             dr, pr, vr = pools[j]
-            a, b, ok = match_pools(dq, pq, vq, dr, pr, vr, cutoff=args.cutoff)
+            a, b, ok, _ = match_pools(dq, pq, vq, dr, pr, vr, cutoff=args.cutoff)
             n_matches = int(jnp.sum(ok))
             line = f"kf{clouds[i].keyframe_id} <-> kf{clouds[j].keyframe_id}: {n_matches} matches"
             if n_matches >= 25:
