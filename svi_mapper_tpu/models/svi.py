@@ -188,6 +188,7 @@ class StereoInertialTracker(SLAMSystem):
             down_w = np.array([0.0, -1.0, 0.0], np.float32)
             self.gravity_obs.append((R_wc @ down_w).astype(np.float32))
             self._on_keyframe(out)
+        self._maybe_world_shift()
         return out
 
     # ------------------------------------------------------------------

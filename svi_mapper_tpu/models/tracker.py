@@ -58,6 +58,14 @@ class StereoTracker:
         self.track_lost_events: list[int] = []   # frame indices
         self.frame_count = 0
         self.timings: dict[str, float] = {"frame_total": 0.0}
+        # robocentric world shift (ref m_vecTranslationToG2o,
+        # CTrackerGT.h:84): when the camera strays beyond the threshold the
+        # INTERNAL world origin rebases to the camera, keeping every f32
+        # world coordinate small; the f64 offset maps back to the output
+        # frame (p_out = p_int + world_offset)
+        self.world_shift_threshold_m: float = 512.0
+        self.world_offset = np.zeros(3, np.float64)
+        self.world_shifts = 0
 
     def process(self, img_left, img_right, T_gt=None) -> frame_mod.FrameOutput:
         t0 = time.perf_counter()
@@ -65,6 +73,8 @@ class StereoTracker:
         kwargs = {}
         if self.use_gt_pose:
             assert T_gt is not None, "GT tracker needs a ground-truth pose"
+        if T_gt is not None:
+            T_gt = self._to_internal(np.asarray(T_gt, np.float64))
         self.state, out = frame_mod.process_frame(
             self.state,
             jnp.asarray(img_left, jnp.float32),
@@ -95,7 +105,61 @@ class StereoTracker:
         self.outputs.append(out)
         if bool(out.is_keyframe):
             self._spawn_keyframe(out)
+        self._maybe_world_shift()
         return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _translate4(c) -> np.ndarray:
+        T = np.eye(4, dtype=np.float64)
+        T[:3, 3] = c
+        return T
+
+    def _to_internal(self, T_out: np.ndarray) -> np.ndarray:
+        """External (output-frame) world->camera pose -> internal frame."""
+        if not self.world_shifts:
+            return T_out
+        return T_out @ self._translate4(self.world_offset)
+
+    def _to_output(self, T_int: np.ndarray) -> np.ndarray:
+        if not self.world_shifts:
+            return np.asarray(T_int, np.float64)
+        return np.asarray(T_int, np.float64) @ self._translate4(-self.world_offset)
+
+    def _maybe_world_shift(self) -> None:
+        if self.world_shift_threshold_m is None:
+            return
+        T = np.asarray(self.state.T_wc, np.float64)
+        c = -T[:3, :3].T @ T[:3, 3]              # camera center (internal)
+        if np.linalg.norm(c) <= self.world_shift_threshold_m:
+            return
+        self._world_shift(c)
+
+    def _world_shift(self, c: np.ndarray) -> None:
+        """Rebase the internal world origin to ``c``: p_int' = p_int - c,
+        T' = T @ Translate(c) for every world->camera transform (ref
+        robocentric m_vecTranslationToG2o threading, CTrackerGT.h:84)."""
+        Tc = self._translate4(c)
+        Tc32 = jnp.asarray(Tc, jnp.float32)
+        cj = jnp.asarray(c, jnp.float32)
+        t = self.state.table
+        self.state = self.state.replace(
+            T_wc=self.state.T_wc @ Tc32,
+            T_wc_prev=self.state.T_wc_prev @ Tc32,
+            T_last_keyframe=self.state.T_last_keyframe @ Tc32,
+            table=t.replace(
+                pos_w=t.pos_w - cj[None, :],
+                meas_T_wc=jnp.einsum("lmij,jk->lmik", t.meas_T_wc, Tc32),
+            ),
+        )
+        # host records move to the new internal frame in float64
+        self.trajectory = [np.asarray(T, np.float64) @ Tc
+                           for T in self.trajectory]
+        for kf in self.keyframes:
+            kf.T_wc = np.asarray(kf.T_wc, np.float64) @ Tc
+            kf.points_w = kf.points_w - c[None, :]
+        self.world_offset = self.world_offset + c
+        self.world_shifts += 1
 
     def process_many(self, imgs_left, imgs_right, T_gt=None,
                      chunk: int = 16) -> list[frame_mod.FrameOutput]:
@@ -115,7 +179,8 @@ class StereoTracker:
             e = min(s + chunk, n)
             t0 = time.perf_counter()
             T_sl = None if T_gt is None else jnp.asarray(
-                T_gt[s:e], jnp.float32)
+                np.asarray(T_gt[s:e], np.float64)
+                @ self._translate4(self.world_offset), jnp.float32)
             self.state, stacked = frame_mod.process_chunk(
                 self.state, L[s:e], R[s:e], self.cam, self.params, T_sl,
                 use_gt_pose=self.use_gt_pose,
@@ -131,6 +196,7 @@ class StereoTracker:
                 outs.append(out)
                 if bool(out.is_keyframe):
                     self._spawn_keyframe(out)
+            self._maybe_world_shift()
         return outs
 
     def _spawn_keyframe(self, out) -> None:
@@ -152,7 +218,14 @@ class StereoTracker:
     # ------------------------------------------------------------------
     @property
     def trajectory_array(self) -> np.ndarray:
-        return np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4))
+        """Per-frame world->camera poses in the OUTPUT frame (internal
+        robocentric shifts folded back out)."""
+        if not self.trajectory:
+            return np.zeros((0, 4, 4))
+        raw = np.stack([np.asarray(T, np.float64) for T in self.trajectory])
+        if self.world_shifts:
+            raw = raw @ self._translate4(-self.world_offset)
+        return raw
 
     def fps(self) -> float:
         if self.frame_count <= 1 or self.timings["frame_total"] <= 0:
