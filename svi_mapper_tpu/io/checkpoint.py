@@ -67,7 +67,11 @@ def save_checkpoint(path: str | Path, tracker) -> None:
         arrays[f"table__{f.name}"] = np.asarray(getattr(state.table, f.name))
 
     if tracker.trajectory:
-        arrays["trajectory"] = np.stack(tracker.trajectory)
+        arrays["trajectory"] = np.stack(
+            [np.asarray(T, np.float64) for T in tracker.trajectory])
+    # robocentric world-shift state (ref m_vecTranslationToG2o)
+    arrays["world_offset"] = np.asarray(tracker.world_offset, np.float64)
+    arrays["world_shifts"] = np.asarray(tracker.world_shifts, np.int64)
 
     # camera (both eyes)
     for eye in ("left", "right"):
@@ -108,6 +112,10 @@ def save_checkpoint(path: str | Path, tracker) -> None:
             "db_pool_size": tracker.db.pool_size,
             "db_native_index": tracker.db.index is not None,
             "async_closure": tracker._closure_pool is not None,
+            # incremental-BA / landmark-identity state
+            "last_opt_kf": tracker._last_opt_kf,
+            "uid_parent": {str(k): v for k, v in tracker._uid_parent.items()},
+            "excised_uids": sorted(tracker._excised_uids),
         }
         if kfs:
             arrays["kf__T_wc"] = np.stack([k.T_wc for k in kfs])
@@ -245,9 +253,16 @@ def load_checkpoint(path: str | Path):
     )
     if "trajectory" in arrays:
         tracker.trajectory = list(arrays["trajectory"])
+    if "world_offset" in arrays:
+        tracker.world_offset = np.asarray(arrays["world_offset"], np.float64)
+        tracker.world_shifts = int(arrays.get("world_shifts", 0))
 
     if is_slam:
         s = meta["slam"]
+        tracker._last_opt_kf = int(s.get("last_opt_kf", 0))
+        tracker._uid_parent = {int(k): int(v)
+                               for k, v in s.get("uid_parent", {}).items()}
+        tracker._excised_uids = set(s.get("excised_uids", []))
         if s["kf_index"]:
             uids = _split(arrays["kf__obs_uids"], arrays["kf__obs_offs"])
             uv4 = _split(arrays["kf__obs_uv4"], arrays["kf__obs_offs"])

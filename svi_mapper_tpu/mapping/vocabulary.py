@@ -240,7 +240,9 @@ class BowDatabase:
 
     def add(self, desc: np.ndarray | jax.Array,
             valid: np.ndarray | jax.Array | None = None) -> int:
-        assert self.n < len(self.vectors), "BoW database full"
+        if self.n >= len(self.vectors):     # grow (amortized O(1))
+            self.vectors = np.concatenate(
+                [self.vectors, np.zeros_like(self.vectors)])
         v = bow_vector(self.vocab, jnp.asarray(desc),
                        None if valid is None else jnp.asarray(valid))
         i = self.n

@@ -57,7 +57,8 @@ def _load():
     lib.svi_index_size.argtypes = [c.c_void_p]
     lib.svi_index_n_keyframes.restype = c.c_int64
     lib.svi_index_n_keyframes.argtypes = [c.c_void_p]
-    lib.svi_index_query.argtypes = [c.c_void_p, u64p, c.c_int, c.c_int, i32p]
+    lib.svi_index_query.argtypes = [c.c_void_p, u64p, c.c_int, c.c_int,
+                                    c.c_int64, i32p]
 
     lib.svi_cloud_write.restype = c.c_int
     lib.svi_cloud_write.argtypes = [
@@ -143,14 +144,18 @@ class DescriptorIndex:
         with self._lock:
             self._lib.svi_index_add(self._h, w, len(w), keyframe_id)
 
-    def query(self, desc: np.ndarray, cutoff: int = 25) -> np.ndarray:
-        """[n_keyframes] int32 vote counts."""
+    def query(self, desc: np.ndarray, cutoff: int = 25,
+              max_keyframe: int = -1) -> np.ndarray:
+        """[n_keyframes] int32 vote counts. ``max_keyframe >= 0`` restricts
+        votes to keyframes with id < max_keyframe (temporal exclusion at
+        vote time — recent duplicates cannot shadow older keyframes)."""
         w = _to_words(desc)
         with self._lock:
             nk = self._lib.svi_index_n_keyframes(self._h)
             votes = np.zeros(max(int(nk), 1), np.int32)
             if len(w) and nk:
-                self._lib.svi_index_query(self._h, w, len(w), cutoff, votes)
+                self._lib.svi_index_query(self._h, w, len(w), cutoff,
+                                          max_keyframe, votes)
         return votes[:nk]
 
     @property

@@ -63,8 +63,12 @@ class DescriptorIndex {
 
   // For each query descriptor: descend, scan the leaf, and if the best
   // match is within `cutoff`, vote for its keyframe.  Returns the vote
-  // count per keyframe id in [0, n_keyframes).
-  void query(const uint64_t* descs, int n, int cutoff,
+  // count per keyframe id in [0, n_keyframes).  `max_kf >= 0` restricts the
+  // scan to keyframes with id < max_kf — the temporal exclusion of closure
+  // search, applied at vote time so recent (or self) duplicates cannot
+  // shadow older keyframes (the reference queries DBoW2 BEFORE adding the
+  // new keyframe, CTrackerGT.cpp:411).
+  void query(const uint64_t* descs, int n, int cutoff, int64_t max_kf,
              int32_t* votes /* [n_keyframes] zero-initialised by caller */) const {
     for (int i = 0; i < n; ++i) {
       const uint64_t* q = descs + i * kWords;
@@ -75,6 +79,7 @@ class DescriptorIndex {
       int best = cutoff + 1;
       int64_t best_kf = -1;
       for (const Descriptor& d : node->leaf) {
+        if (max_kf >= 0 && d.keyframe_id >= max_kf) continue;
         int dist = hamming(q, d.w);
         if (dist < best) {
           best = dist;

@@ -41,10 +41,10 @@ int64_t svi_index_n_keyframes(void* h) {
 }
 
 void svi_index_query(void* h, const uint64_t* descs, int n, int cutoff,
-                     int32_t* votes) {
+                     int64_t max_kf, int32_t* votes) {
   auto* idx = static_cast<svi::DescriptorIndex*>(h);
   std::memset(votes, 0, sizeof(int32_t) * idx->n_keyframes());
-  idx->query(descs, n, cutoff, votes);
+  idx->query(descs, n, cutoff, max_kf, votes);
 }
 
 // ---------------------------------------------------------------------------
