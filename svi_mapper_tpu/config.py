@@ -75,8 +75,15 @@ def load_camera_calibration(path: str | Path) -> CameraCalibration:
     malformed required fields (the reference throws CExceptionParameter)."""
     from svi_mapper_tpu.utils.errors import ParameterError
 
+    p = Path(path)
+    if not p.exists() and not p.is_absolute():
+        # bare filenames resolve against the shipped calibration directory
+        # (hardware_parameters/, the reference's layout)
+        shipped = HARDWARE_PARAMETERS_DIR / p
+        if shipped.exists():
+            p = shipped
     try:
-        tokens = _tokenize(Path(path).read_text())
+        tokens = _tokenize(p.read_text())
     except OSError as e:
         raise ParameterError(f"cannot read calibration file {path}: {e}") from e
     required = ("uWidthPixels", "uHeightPixels", "vecDistortionCoefficients",

@@ -129,3 +129,29 @@ def test_parse_reference_calibrations():
     assert np.isclose(np.linalg.norm(vi.q_cam_to_imu), 1.0, atol=1e-6)
     R = np.asarray(se3.quat_to_R(jnp.asarray(vi.q_cam_to_imu, jnp.float32)))
     assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_shipped_calibrations_load_by_bare_name():
+    """README quick-start regression: the three shipped rigs load by bare
+    filename (resolved against hardware_parameters/) with the correct
+    baselines (KITTI 00: P_right[0,3] = -386.1448 -> b = 0.537 m)."""
+    from svi_mapper_tpu.config import load_stereo_camera
+
+    cam = load_stereo_camera("kitti_00_camera_left.txt",
+                             "kitti_00_camera_right.txt")
+    assert abs(float(cam.baseline) - 0.5371657) < 1e-4
+    assert abs(float(cam.left.fx) - 718.856) < 1e-2
+    assert cam.left.width == 1241 and cam.left.height == 376
+
+    cam2 = load_stereo_camera("kitti_11_12_camera_left.txt",
+                              "kitti_11_12_camera_right.txt")
+    assert abs(float(cam2.baseline) - 0.5371507) < 1e-4
+
+    vi = load_stereo_camera("vi_sensor_camera_left.txt",
+                            "vi_sensor_camera_right.txt")
+    assert abs(float(vi.baseline) - 0.110170) < 1e-4
+    # the VI rig carries IMU extrinsics (ref vi_sensor_camera_left.txt:17-23)
+    from svi_mapper_tpu.config import load_camera_calibration
+    calib = load_camera_calibration("vi_sensor_camera_left.txt")
+    assert calib.has_imu
+    assert abs(float(np.linalg.norm(calib.q_cam_to_imu)) - 1.0) < 1e-6
