@@ -38,10 +38,13 @@ import json
 import sys
 import time
 
-# CPU-backend anchors (this machine, jax CPU, 2026-08, `python bench.py --cpu`)
-CPU_FULL_SLAM_FPS = 13.06
-CPU_FRONTEND_FPS = 20.87
-CPU_BA_ITERS_PER_SEC = 52.5
+# CPU-backend anchors (this machine, jax CPU, re-measured 2026-08-19 with
+# `python bench.py --cpu` — same code, same scenario as the TPU run: the
+# round-2 pipeline with oriented epipolar stage-3, regional recovery, and
+# the full back-end on the radius-26 loop)
+CPU_FULL_SLAM_FPS = 6.749
+CPU_FRONTEND_FPS = 6.976
+CPU_BA_ITERS_PER_SEC = 17.33    # 32-keyframe x 4096-landmark window
 
 
 def bench_frontend(quick: bool) -> float:
@@ -91,12 +94,14 @@ def bench_full_slam(quick: bool) -> tuple[float, dict]:
     from svi_mapper_tpu.io.synthetic import SyntheticSequence
     from svi_mapper_tpu.models.slam import SLAMSystem
 
-    # 208 frames around a radius-12 loop (revisit at ~frame 180): gentle
-    # enough per-frame motion for KITTI-resolution flow, long enough that
-    # the closure + pose-graph + BA path all fire during the measurement
+    # a full loop with KITTI-like per-frame motion (radius 26 m over 208
+    # frames = 0.79 m + 1.7 deg of yaw per frame; KITTI 00 averages
+    # ~0.8 m/frame) — the revisit fires the closure + pose-graph + BA path
+    # during the measurement. Tighter loops yaw too fast for ANY tracker
+    # at KITTI resolution (50+ px/frame feature shifts).
     n_frames = 48 if quick else 208
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
-                            trajectory="loop", loop_radius=12.0)
+                            trajectory="loop", loop_radius=26.0)
     L = jnp.stack([jnp.asarray(f[0]) for f in seq])
     R = jnp.stack([jnp.asarray(f[1]) for f in seq])
     jax.block_until_ready((L, R))
@@ -126,7 +131,9 @@ def bench_ba(quick: bool) -> float:
     from svi_mapper_tpu.io.synthetic import default_camera
     from svi_mapper_tpu.solvers import ba as ba_mod
 
-    K, Lm = 8, 1024
+    # the production mapping window (solvers.ba docstring): 32 keyframes x
+    # 4096 landmarks — Schur reduction [192, 12288] x [12288, 192] on MXU
+    K, Lm = 32, 4096
     iters = 30
     reps = 1 if quick else 4
     cam = default_camera(1241, 376)
@@ -174,6 +181,14 @@ def main() -> None:
     # sandbox tunnel and dominate wall-clock; later processes reuse them
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if "--stages" in sys.argv:
+        # per-stage device budget (the tracker_gt exit report analog,
+        # tracker_gt.cpp:285-308) — human-readable mode
+        from svi_mapper_tpu.eval.stage_bench import format_budget, stage_budget
+
+        print(format_budget(stage_budget()))
+        return
 
     slam_fps, slam_stats = bench_full_slam(quick)
     frontend_fps = bench_frontend(quick)

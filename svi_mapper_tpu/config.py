@@ -225,6 +225,12 @@ class TrackingParams:
     # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
     motion_scaling_cap: float = 5.0
 
+    # --- regional recovery (stage-2 second chance, ref
+    #     CFundamentalMatcher.cpp:495-727) ---
+    enable_recovery: bool = True
+    recovery_max_detections: int = 1024
+    recovery_cell: int = 4
+
 
 DEFAULT_PARAMS = TrackingParams()
 

@@ -27,6 +27,8 @@ pass and this stage covers the refined-pose recovery).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -53,6 +55,11 @@ class RecoveryResult:
     n_candidates: jax.Array  # int32 — landmarks that needed recovery
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cutoff", "cutoff_stereo", "max_detections",
+                     "detect_cell", "detect_quality"),
+)
 def regional_recovery(
     dense_left: jax.Array,      # [H, W, 8] dense BRIEF of current LEFT
     dense_right: jax.Array,

@@ -289,6 +289,8 @@ def load_checkpoint(path: str | Path):
         db.n = s["db_n"]
         for f in ("desc", "p_cam", "valid", "count", "T_wc"):
             setattr(db, f, jnp.asarray(arrays[f"db__{f}"]))
+        db.count_host = [int(c) for c in arrays["db__count"][: db.n]]
+        db.capacity = int(arrays["db__desc"].shape[0])
         if db.index is not None:
             # rebuild the native shortlist index from the stored pools
             desc = arrays["db__desc"]

@@ -34,6 +34,12 @@ _BIG = jnp.int32(1 << 20)
 # keyframe database (host container, device arrays)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _db_set(desc_a, p_a, v_a, c_a, T_a, k, d, p, v, n, T):
+    return (desc_a.at[k].set(d), p_a.at[k].set(p), v_a.at[k].set(v),
+            c_a.at[k].set(n), T_a.at[k].set(T))
+
+
 @dataclasses.dataclass
 class KeyframeDatabase:
     """Growable stack of keyframe descriptor/point pools
@@ -62,6 +68,13 @@ class KeyframeDatabase:
     bow: object | None = None    # optional mapping.vocabulary.BowDatabase
     auto_vocab: bool = True      # train the BoW vocabulary in-run
     vocab_train_at: int = 8      # keyframes accumulated before training
+    count_host: list = dataclasses.field(default_factory=list)  # host mirror
+
+    def count_of(self, k: int) -> int:
+        """Pool size of keyframe k without a device read."""
+        if k < len(self.count_host):
+            return self.count_host[k]
+        return int(self.count[k])    # restored-from-checkpoint fallback
 
     @classmethod
     def create(cls, capacity: int = 512, pool_size: int = 256,
@@ -120,9 +133,8 @@ class KeyframeDatabase:
         vocabulary replacement; ref brief_k10L6.voc.gz, CTrackerGT.cpp:39)."""
         from svi_mapper_tpu.mapping.vocabulary import BowDatabase, build_vocabulary
 
-        counts = np.asarray(self.count[: self.n])
-        descs = [np.asarray(self.desc[k])[: int(counts[k])]
-                 for k in range(self.n)]
+        desc_all = np.asarray(self.desc[: self.n])
+        descs = [desc_all[k][: self.count_of(k)] for k in range(self.n)]
         alld = np.concatenate(descs)
         if len(alld) < 64:
             return
@@ -147,11 +159,14 @@ class KeyframeDatabase:
         p[:n] = p_cam[:n]
         v[:n] = True
         k = self.n
-        self.desc = self.desc.at[k].set(jnp.asarray(d))
-        self.p_cam = self.p_cam.at[k].set(jnp.asarray(p))
-        self.valid = self.valid.at[k].set(jnp.asarray(v))
-        self.count = self.count.at[k].set(n)
-        self.T_wc = self.T_wc.at[k].set(jnp.asarray(T_wc, jnp.float32))
+        # one fused dispatch for all five array writes (dispatch latency
+        # dominates on a remote accelerator)
+        self.desc, self.p_cam, self.valid, self.count, self.T_wc = _db_set(
+            self.desc, self.p_cam, self.valid, self.count, self.T_wc,
+            k, jnp.asarray(d), jnp.asarray(p), jnp.asarray(v),
+            jnp.int32(n), jnp.asarray(T_wc, jnp.float32),
+        )
+        self.count_host.append(n)
         self.n = k + 1
         if self.index is not None:
             self.index.add(d[:n], k)
@@ -205,6 +220,105 @@ def count_pool_matches(
     d = jnp.where(valid_r[None, :], d, _BIG)
     dmin = jnp.min(d, axis=-1)
     return jnp.sum(((dmin <= cutoff) & valid_q).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "C", "cutoff"))
+def bow_shortlist_counts(
+    centroids, child_valid, weights,   # the vocabulary (pytrees)
+    vectors: jax.Array,                # [N, W] stored BoW vectors (device)
+    query_kf: jax.Array,               # scalar int32 — query pool index
+    desc_db: jax.Array, valid_db: jax.Array,
+    lo: jax.Array,                     # temporal exclusion bound (< lo eligible)
+    k: int, C: int, cutoff: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused closure shortlisting in ONE dispatch: BoW vector of the query
+    pool -> L1 scores against every stored keyframe -> top-C shortlist ->
+    exact Hamming match counts of the shortlisted pools.
+
+    Returns ``(short [C] int32, counts [C] int32)``; ineligible slots carry
+    count 0. (The reference does the same stages through DBoW2 + per-
+    keyframe trees, CTrackerGT.cpp:411-432 — here they fuse so a remote
+    accelerator pays one dispatch, not one per candidate.)
+    """
+    from svi_mapper_tpu.mapping.vocabulary import _bow_vector_jit, score_l1
+
+    desc_q = desc_db[query_kf]
+    valid_q = valid_db[query_kf]
+    v = _bow_vector_jit(centroids, child_valid, weights, desc_q,
+                        valid_q.astype(jnp.float32), k)
+    s = score_l1(v, vectors)                               # [N]
+    idx = jnp.arange(vectors.shape[0], dtype=jnp.int32)
+    s = jnp.where(idx < lo, s, -1.0)
+    top_s, short = jax.lax.top_k(s, C)
+    short = short.astype(jnp.int32)
+    safe = jnp.where(top_s > 0.0, short, 0)
+    desc_r = jnp.take(desc_db, safe, axis=0)               # [C,P,8]
+    valid_r = jnp.take(valid_db, safe, axis=0)
+    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    d = jnp.where(valid_r[None, :, :], d, _BIG)
+    dmin = jnp.min(d, axis=-1)                             # [P,C]
+    counts = jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
+                     axis=0)
+    counts = jnp.where(top_s > 0.0, counts, 0)
+    return short, counts
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def count_pool_matches_many(
+    desc_q: jax.Array, valid_q: jax.Array,
+    short_idx: jax.Array,        # [C] int32 database keyframe indices
+    desc_db: jax.Array, valid_db: jax.Array,
+    cutoff: int = 25,
+) -> jax.Array:
+    """[C] exact match counts of one query pool against C shortlisted
+    database pools — ONE dispatch instead of C (the per-dispatch latency
+    of a remote accelerator dwarfs the [P, C, P] popcount)."""
+    desc_r = jnp.take(desc_db, short_idx, axis=0)      # [C,P,8]
+    valid_r = jnp.take(valid_db, short_idx, axis=0)    # [C,P]
+    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    d = jnp.where(valid_r[None, :, :], d, _BIG)
+    dmin = jnp.min(d, axis=-1)                         # [P,C]
+    return jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
+                   axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def match_pools_many(
+    query_kf: jax.Array,          # scalar int32 — query pool index
+    cand_idx: jax.Array,          # [C] database keyframe indices
+    desc_db: jax.Array, p_db: jax.Array, valid_db: jax.Array,
+    T_init: jax.Array,            # [C,4,4] ICP initializations
+    cutoff: int = 25,
+    icp_inlier_m2: float = 1.0,
+    icp_min_inliers: int = 25,
+    icp_max_avg_error: float = 0.9,
+):
+    """Mutual matching + ICP validation of one query pool against C
+    candidate pools in ONE dispatch (vmapped match_pools + align_clouds)."""
+    desc_q = desc_db[query_kf]
+    p_q = p_db[query_kf]
+    valid_q = valid_db[query_kf]
+    desc_r = jnp.take(desc_db, cand_idx, axis=0)
+    p_r = jnp.take(p_db, cand_idx, axis=0)
+    valid_r = jnp.take(valid_db, cand_idx, axis=0)
+
+    def one(dr, pr, vr, Ti):
+        pq, prm, ok, fwd = match_pools(desc_q, p_q, valid_q, dr, pr, vr,
+                                       cutoff=cutoff)
+        res = align_clouds(pq, prm, ok, T_init=Ti,
+                           inlier_m2=icp_inlier_m2,
+                           min_inliers=icp_min_inliers,
+                           max_avg_error=icp_max_avg_error)
+        n_matches = jnp.sum(ok.astype(jnp.int32))
+        # post-ICP inlier correspondences (the pair export)
+        q = se3.transform(res.T_qr, prm)
+        err2 = jnp.sum((q - pq) ** 2, -1)
+        inl = ok & (err2 < icp_inlier_m2)
+        return n_matches, res.T_qr, res.ok, res.inliers, inl, fwd
+
+    return jax.vmap(one)(desc_r, p_r, valid_r, T_init)
 
 
 @functools.partial(jax.jit, static_argnames=("cutoff",))
@@ -311,31 +425,26 @@ def find_closures(
     CTrackerGT.cpp:383-645)."""
     if query_kf < 1:
         return []
-    desc_q = db.desc[query_kf]
-    valid_q = db.valid[query_kf]
-    p_q = db.p_cam[query_kf]
-    n_q = int(db.count[query_kf])
+    n_q = db.count_of(query_kf)          # host mirror — no device read
     if n_q < min_matches:
         return []
 
     if db.bow is not None and db.bow.n > 0:
-        # BoW shortlist (ref DBoW2 query, CTrackerGT.cpp:411): score all
-        # stored vectors with one L1 reduction, then compute exact match
-        # counts only for the shortlisted keyframes.
-        bow_scores = db.bow.query(desc_q, valid_q)
-        bow_scores = np.pad(bow_scores, (0, db.desc.shape[0] - len(bow_scores)))
+        # BoW shortlist (ref DBoW2 query, CTrackerGT.cpp:411): BoW scoring,
+        # top-C selection, and exact match counting fuse into ONE dispatch
+        # (bow_shortlist_counts) — a remote accelerator pays one round
+        # trip for the whole place-recognition stage.
+        C = max(4 * max_candidates, 8)
         lo_b = max(0, query_kf - exclude_recent)
-        bow_scores[lo_b:] = 0.0
-        short = np.argsort(bow_scores)[::-1][: max(4 * max_candidates, 8)]
-        short = short[bow_scores[short] > 0.0]
+        short, counts = jax.device_get(bow_shortlist_counts(
+            db.bow.vocab.centroids, db.bow.vocab.child_valid,
+            db.bow.vocab.weights, db.bow.vectors,
+            jnp.int32(query_kf), db.desc, db.valid,
+            jnp.int32(lo_b), db.bow.vocab.k, C, hamming_cutoff,
+        ))
         scores = np.zeros(db.desc.shape[0], np.int32)
-        for c in short:
-            scores[int(c)] = int(
-                count_pool_matches(
-                    desc_q, valid_q, db.desc[int(c)], db.valid[int(c)],
-                    cutoff=hamming_cutoff,
-                )
-            )
+        live = counts > 0
+        scores[short[live]] = counts[live]
     elif db.index is not None:
         # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
         # descriptor best-leaf vote counts per keyframe — same score
@@ -343,14 +452,17 @@ def find_closures(
         # Votes are bounded to pre-exclusion keyframes so the query
         # keyframe's own (already-inserted) descriptors cannot shadow the
         # revisited one (the reference queries before adding, CTrackerGT:411)
-        q = np.asarray(desc_q)[np.asarray(valid_q)]
+        desc_q, valid_q = jax.device_get(
+            (db.desc[query_kf], db.valid[query_kf]))
+        q = desc_q[valid_q]
         votes = db.index.query(q, cutoff=hamming_cutoff,
                                max_keyframe=max(0, query_kf - exclude_recent))
         scores = np.zeros(db.desc.shape[0], np.int32)
         scores[: len(votes)] = votes
     else:
         scores = np.array(
-            score_pools(desc_q, valid_q, db.desc, db.valid, cutoff=hamming_cutoff)
+            score_pools(db.desc[query_kf], db.valid[query_kf],
+                        db.desc, db.valid, cutoff=hamming_cutoff)
         )
     # only earlier, temporally non-adjacent keyframes are eligible
     lo = max(0, query_kf - exclude_recent)
@@ -362,38 +474,45 @@ def find_closures(
     if not cand_idx:
         return []
 
-    results = []
-    for c in cand_idx:
-        pq, pr, ok, fwd = match_pools(
-            desc_q, p_q, valid_q, db.desc[c], db.p_cam[c], db.valid[c],
+    # batched match + ICP validation over a FIXED candidate width (one
+    # dispatch; padding repeats candidate 0 and is dropped on host)
+    kw = icp_kwargs or {}
+    C = max_candidates
+    n_cand = len(cand_idx)
+    cand_pad = np.asarray(
+        (cand_idx + [cand_idx[0]] * C)[:C], np.int32)
+    T_wc_np = np.asarray(db.T_wc)
+    T_init = (T_wc_np[query_kf][None]
+              @ np.linalg.inv(T_wc_np[cand_pad].astype(np.float64))
+              ).astype(np.float32)
+    n_matches, T_qr, icp_ok, inliers, inl_mask, fwd = jax.device_get(
+        match_pools_many(
+            jnp.int32(query_kf), jnp.asarray(cand_pad),
+            db.desc, db.p_cam, db.valid, jnp.asarray(T_init),
             cutoff=hamming_cutoff,
+            icp_inlier_m2=kw.get("inlier_m2", 1.0),
+            icp_min_inliers=kw.get("min_inliers", 25),
+            icp_max_avg_error=kw.get("max_avg_error", 0.9),
         )
-        n_matches = int(jnp.sum(ok))
-        if n_matches < min_matches:
+    )
+
+    results = []
+    for k in range(n_cand):
+        c = int(cand_pad[k])
+        if int(n_matches[k]) < min_matches or not bool(icp_ok[k]):
             continue
-        # initialize ICP from the current pose estimates
-        T_init = np.asarray(db.T_wc[query_kf]) @ np.linalg.inv(np.asarray(db.T_wc[c]))
-        res = align_clouds(pq, pr, ok, T_init=jnp.asarray(T_init, jnp.float32),
-                           **(icp_kwargs or {}))
-        if bool(res.ok):
-            # post-ICP inlier correspondences: the same inlier rule the
-            # acceptance gates use (solvers.icp, ref CTrackerGT.cpp:524)
-            in_m2 = (icp_kwargs or {}).get("inlier_m2", 1.0)
-            T = np.asarray(res.T_qr)
-            q = np.asarray(pr) @ T[:3, :3].T + T[:3, 3]
-            err2 = np.sum((q - np.asarray(pq)) ** 2, -1)
-            inl = np.asarray(ok) & (err2 < in_m2)
-            slots_q = np.nonzero(inl)[0].astype(np.int32)
-            pairs = np.stack(
-                [slots_q, np.asarray(fwd)[slots_q].astype(np.int32)], -1)
-            results.append(
-                ClosureCandidate(
-                    query_kf=query_kf,
-                    ref_kf=c,
-                    T_qr=np.asarray(res.T_qr),
-                    inliers=int(res.inliers),
-                    matches=n_matches,
-                    pairs=pairs,
-                )
+        # post-ICP inlier correspondences: the same inlier rule the
+        # acceptance gates use (solvers.icp, ref CTrackerGT.cpp:524)
+        slots_q = np.nonzero(inl_mask[k])[0].astype(np.int32)
+        pairs = np.stack([slots_q, fwd[k][slots_q].astype(np.int32)], -1)
+        results.append(
+            ClosureCandidate(
+                query_kf=query_kf,
+                ref_kf=c,
+                T_qr=T_qr[k],
+                inliers=int(inliers[k]),
+                matches=int(n_matches[k]),
+                pairs=pairs,
             )
+        )
     return results

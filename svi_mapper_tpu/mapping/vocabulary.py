@@ -196,26 +196,38 @@ def build_vocabulary(
 # lookup + BoW vectors
 # ---------------------------------------------------------------------------
 
-def word_ids(vocab: Vocabulary, desc: jax.Array) -> jax.Array:
-    """Vectorized tree descent: packed descriptors ``[M, 8]`` -> word ids [M]."""
+@functools.partial(jax.jit, static_argnames=("k",))
+def _descend(centroids: tuple, child_valid: tuple, desc: jax.Array, k: int):
     node = jnp.zeros(desc.shape[0], jnp.int32)
-    for level in range(vocab.levels):
-        a = _assign(desc, node, vocab.centroids[level], vocab.child_valid[level])
-        node = node * vocab.k + a
+    for cent, cv in zip(centroids, child_valid):
+        a = _assign(desc, node, cent, cv)
+        node = node * k + a
     return node
+
+
+def word_ids(vocab: Vocabulary, desc: jax.Array) -> jax.Array:
+    """Vectorized tree descent: packed descriptors ``[M, 8]`` -> word ids
+    [M] (one fused dispatch)."""
+    return _descend(vocab.centroids, vocab.child_valid, desc, vocab.k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _bow_vector_jit(centroids, child_valid, weights, desc, tf, k: int):
+    node = _descend(centroids, child_valid, desc, k)
+    v = jnp.zeros(weights.shape[0], jnp.float32).at[node].add(tf)
+    v = v * weights
+    s = jnp.sum(v)
+    return jnp.where(s > 0, v / s, v)
 
 
 def bow_vector(vocab: Vocabulary, desc: jax.Array,
                valid: jax.Array | None = None) -> jax.Array:
-    """TF-IDF BoW vector ``[num_words]`` float32, L1-normalized."""
-    w = word_ids(vocab, desc)
-    tf = jnp.ones(desc.shape[0], jnp.float32)
-    if valid is not None:
-        tf = valid.astype(jnp.float32)
-    v = jnp.zeros(vocab.num_words, jnp.float32).at[w].add(tf)
-    v = v * vocab.weights
-    s = jnp.sum(v)
-    return jnp.where(s > 0, v / s, v)
+    """TF-IDF BoW vector ``[num_words]`` float32, L1-normalized
+    (one fused dispatch — dispatch latency dominates on a remote chip)."""
+    tf = (jnp.ones(desc.shape[0], jnp.float32) if valid is None
+          else valid.astype(jnp.float32))
+    return _bow_vector_jit(vocab.centroids, vocab.child_valid, vocab.weights,
+                           desc, tf, vocab.k)
 
 
 @jax.jit
@@ -230,23 +242,28 @@ class BowDatabase:
     Role of the reference's ``BriefDatabase`` (DBoW2) queried at
     ``CTrackerGT.cpp:411``; ``DBOW2_ID_LEVELS``-style direct index is not
     needed because descriptor-level matching runs as exact all-pairs Hamming
-    downstream.
+    downstream. Vectors live ON DEVICE so a query is one dispatch with no
+    host->device vector traffic.
     """
 
     def __init__(self, vocab: Vocabulary, capacity: int = 1024):
         self.vocab = vocab
-        self.vectors = np.zeros((capacity, vocab.num_words), np.float32)
+        self.vectors = jnp.zeros((capacity, vocab.num_words), jnp.float32)
         self.n = 0
 
     def add(self, desc: np.ndarray | jax.Array,
             valid: np.ndarray | jax.Array | None = None) -> int:
-        if self.n >= len(self.vectors):     # grow (amortized O(1))
-            self.vectors = np.concatenate(
-                [self.vectors, np.zeros_like(self.vectors)])
-        v = bow_vector(self.vocab, jnp.asarray(desc),
-                       None if valid is None else jnp.asarray(valid))
+        if self.n >= self.vectors.shape[0]:     # grow (amortized O(1))
+            self.vectors = jnp.concatenate(
+                [self.vectors, jnp.zeros_like(self.vectors)])
         i = self.n
-        self.vectors[i] = np.asarray(v)
+        self.vectors = _bow_add_jit(
+            self.vocab.centroids, self.vocab.child_valid, self.vocab.weights,
+            self.vectors, jnp.asarray(desc),
+            (jnp.ones(np.shape(desc)[0], jnp.float32) if valid is None
+             else jnp.asarray(valid).astype(jnp.float32)),
+            jnp.int32(i), self.vocab.k,
+        )
         self.n = i + 1
         return i
 
@@ -257,4 +274,10 @@ class BowDatabase:
             return np.zeros(0, np.float32)
         v = bow_vector(self.vocab, jnp.asarray(desc),
                        None if valid is None else jnp.asarray(valid))
-        return np.asarray(score_l1(v, jnp.asarray(self.vectors[: self.n])))
+        return np.asarray(score_l1(v, self.vectors))[: self.n]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _bow_add_jit(centroids, child_valid, weights, vectors, desc, tf, i, k: int):
+    v = _bow_vector_jit(centroids, child_valid, weights, desc, tf, k)
+    return vectors.at[i].set(v)

@@ -244,14 +244,23 @@ def process_frame(
         )
     # --- regional detection recovery (stage-2 second chance under the
     #     refined pose, ref CFundamentalMatcher.cpp:495-727) ---------------
-    rec = regional_recovery(
-        dense_l, dense_r, img_left, state.table, track.tracked, T_new, cam, ms,
-        cutoff=params.matching_distance_tracking_stage2,
-        cutoff_stereo=params.matching_distance_triangulation,
-    )
-    tracked_all = track.tracked | rec.recovered
-    uv4_all = jnp.where(track.tracked[:, None], track.uv4, rec.uv4)
-    desc_all = jnp.where(track.tracked[:, None], track.desc_left, rec.desc_left)
+    if params.enable_recovery:
+        rec = regional_recovery(
+            dense_l, dense_r, img_left, state.table, track.tracked, T_new,
+            cam, ms,
+            cutoff=params.matching_distance_tracking_stage2,
+            cutoff_stereo=params.matching_distance_triangulation,
+            max_detections=params.recovery_max_detections,
+            detect_cell=params.recovery_cell,
+        )
+        tracked_all = track.tracked | rec.recovered
+        uv4_all = jnp.where(track.tracked[:, None], track.uv4, rec.uv4)
+        desc_all = jnp.where(track.tracked[:, None], track.desc_left,
+                             rec.desc_left)
+    else:
+        tracked_all = track.tracked
+        uv4_all = track.uv4
+        desc_all = track.desc_left
     n_tracked = jnp.sum(tracked_all.astype(jnp.int32))
 
     # --- measurements ----------------------------------------------------

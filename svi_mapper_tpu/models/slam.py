@@ -57,6 +57,26 @@ class ClosureEdge:
         default_factory=lambda: np.zeros((0, 2), np.int64))
 
 
+@jax.jit
+def _poses_rmul(T, Tp, Tk, A):
+    prec = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(T, A, precision=prec),
+            jnp.matmul(Tp, A, precision=prec),
+            jnp.matmul(Tk, A, precision=prec))
+
+
+@jax.jit
+def _ba_writeback(table, slots_good, pos, slots_dead):
+    """Fused BA result write-back: positions + ring clears for optimized
+    landmarks, deactivation for excised ones (out-of-range slots drop)."""
+    return table.replace(
+        pos_w=table.pos_w.at[slots_good].set(pos, mode="drop"),
+        meas_count=table.meas_count.at[slots_good].set(0, mode="drop"),
+        meas_next=table.meas_next.at[slots_good].set(0, mode="drop"),
+        active=table.active.at[slots_dead].set(False, mode="drop"),
+    )
+
+
 class SLAMSystem(StereoTracker):
     """Stereo SLAM with loop closure and windowed BA."""
 
@@ -160,10 +180,12 @@ class SLAMSystem(StereoTracker):
                 landmark_opt_every=self.landmark_opt_every,
                 emit_snapshots=True,
             )
-            stacked.T_wc.block_until_ready()
+            # ONE device->host transfer for the whole chunk's outputs —
+            # per-frame device slicing would cost thousands of dispatches
+            stacked = jax.device_get(stacked)
             self.timings["frame_total"] += time.perf_counter() - t0
-            kf_mask = np.asarray(stacked.is_keyframe)
-            T_all = np.asarray(stacked.T_wc)
+            kf_mask = stacked.is_keyframe
+            T_all = stacked.T_wc
             base = self.frame_count
             for i in range(e - s):
                 out = jax.tree_util.tree_map(lambda x: x[i], stacked)
@@ -174,7 +196,7 @@ class SLAMSystem(StereoTracker):
                 if kf_mask[i]:
                     self._spawn_keyframe(out)
             if kf_mask.any():
-                sn = jax.tree_util.tree_map(np.asarray, snaps)
+                sn = jax.device_get(snaps)
                 self._corr_P = np.eye(4, dtype=np.float64)
                 self._corr_M = np.eye(4, dtype=np.float64)
                 for i in np.nonzero(kf_mask)[0]:
@@ -201,18 +223,23 @@ class SLAMSystem(StereoTracker):
     # ------------------------------------------------------------------
     def _on_keyframe(self, out) -> None:
         t = self.state.table
+        (T_wc, uid, active, optimal, failed, uv_left, disparity, pos_w, desc,
+         inst) = jax.device_get(
+            (self.state.T_wc, t.uid, t.active, t.is_optimal, t.failed,
+             t.uv_left_last, t.disparity_last, t.pos_w, t.desc_left_ref,
+             self.state.instability))
         self._handle_keyframe(
             frame_idx=self.frame_count - 1,
-            T_wc=np.asarray(self.state.T_wc),
-            uid=np.asarray(t.uid),
-            active=np.asarray(t.active),
-            optimal=np.asarray(t.is_optimal),
-            tracked=np.asarray(t.failed) == 0,
-            uv_left=np.asarray(t.uv_left_last),
-            disparity=np.asarray(t.disparity_last),
-            pos_w=np.asarray(t.pos_w),
-            desc=np.asarray(t.desc_left_ref),
-            instability=int(self.state.instability),
+            T_wc=T_wc,
+            uid=uid,
+            active=active,
+            optimal=optimal,
+            tracked=failed == 0,
+            uv_left=uv_left,
+            disparity=disparity,
+            pos_w=pos_w,
+            desc=desc,
+            instability=int(inst),
         )
         # keep the recorded trajectory piecewise-consistent: after back-end
         # corrections the live pose changed; the keyframe's trajectory entry
@@ -525,11 +552,11 @@ class SLAMSystem(StereoTracker):
         A_np = np.linalg.inv(T_kf_old.astype(np.float64)) @ T_kf_new
         self._corr_M = self._corr_M @ A_np
         A = jnp.asarray(A_np, jnp.float32)
+        T, Tp, Tk = _poses_rmul(
+            self.state.T_wc, self.state.T_wc_prev,
+            self.state.T_last_keyframe, A)
         self.state = self.state.replace(
-            T_wc=self.state.T_wc @ A,
-            T_wc_prev=self.state.T_wc_prev @ A,
-            T_last_keyframe=self.state.T_last_keyframe @ A,
-        )
+            T_wc=T, T_wc_prev=Tp, T_last_keyframe=Tk)
 
     @staticmethod
     def _world_correction(T_old: np.ndarray, T_new: np.ndarray) -> np.ndarray:
@@ -609,9 +636,10 @@ class SLAMSystem(StereoTracker):
             return None
 
         # current landmark positions by uid lookup in the live table
+        # (one fused device->host read)
         t = self.state.table
-        table_uids = np.asarray(t.uid).astype(np.int64)
-        table_pos = np.asarray(t.pos_w)
+        table_uids, table_pos = jax.device_get((t.uid, t.pos_w))
+        table_uids = table_uids.astype(np.int64)
         order = np.argsort(table_uids, kind="stable")
         pos = np.searchsorted(table_uids[order], uids)
         pos_c = np.clip(pos, 0, len(order) - 1)
@@ -701,10 +729,11 @@ class SLAMSystem(StereoTracker):
                 max_iterations=10,
                 odo_M=odo_Mj, odo_w=odo_wj,
             )
+            # one device->host round trip per chunk
+            c0, chi2_new = jax.device_get((res.chi2_initial, res.chi2_final))
             if chi2_init is None:
-                chi2_init = float(res.chi2_initial)
-                chi2_prev = chi2_init
-            chi2_new = float(res.chi2_final)
+                chi2_init = chi2_prev = float(c0)
+            chi2_new = float(chi2_new)
             if not np.isfinite(chi2_new) or chi2_new > chi2_prev:
                 break
             T_cur, X_cur = res.T_wc, res.points_w
@@ -716,8 +745,8 @@ class SLAMSystem(StereoTracker):
         if chi2_init is None or chi2_prev > chi2_init:
             return False
 
-        T_opt = np.asarray(T_cur)[:K0]
-        X_opt = np.asarray(X_cur)
+        T_opt, X_opt = jax.device_get((T_cur, X_cur))
+        T_opt = T_opt[:K0]
         T0 = T0[:K0]
         # sanity gate on the correction magnitude (the BA analog of the
         # posit RISK check, CSolverStereoPosit.h:89-98): a window BA must
@@ -734,10 +763,9 @@ class SLAMSystem(StereoTracker):
         # land behind an observing camera, leave the map
         bad = np.zeros(X_opt.shape[0], bool)
         if excise:
-            err2, depth = ba_mod.reprojection_stats(
+            err2, depth = jax.device_get(ba_mod.reprojection_stats(
                 jnp.asarray(T_opt), jnp.asarray(X_opt),
-                obs_j[:K0], mask_j[:K0], self.cam)
-            err2, depth = np.asarray(err2), np.asarray(depth)
+                obs_j[:K0], mask_j[:K0], self.cam))
             seen = mask[:K0].any(0)
             bad = seen & ((err2 > 4.0 * self.params.posit_kernel_px2)
                           | (depth < 0.01))
@@ -751,27 +779,21 @@ class SLAMSystem(StereoTracker):
         for k, kf in enumerate(kfs):
             kf.T_wc = T_opt[k]
         # write back landmark positions (only BA'd, still-live landmarks);
-        # excised landmarks deactivate instead
+        # excised landmarks deactivate instead. One fused dispatch:
+        # BA'd landmarks also get their measurement rings cleared — the
+        # stored observation poses predate the correction and would make
+        # the per-frame landmark GN fight the BA result (the reference
+        # clears measurement histories on optimization,
+        # CLandmark::clearMeasurements CLandmark.cpp:299)
         used = mask.any(0) & (slot_pad >= 0)
-        t = self.state.table
         if used.any():
-            slots_j = jnp.asarray(slot_pad[used & ~bad])
-            pos_j = jnp.asarray(X_opt[used & ~bad], jnp.float32)
-            # BA'd landmarks also get their measurement rings cleared — the
-            # stored observation poses predate the correction and would make
-            # the per-frame landmark GN fight the BA result (the reference
-            # clears measurement histories on optimization,
-            # CLandmark::clearMeasurements CLandmark.cpp:299)
-            table = t.replace(
-                pos_w=t.pos_w.at[slots_j].set(pos_j),
-                meas_count=t.meas_count.at[slots_j].set(0),
-                meas_next=t.meas_next.at[slots_j].set(0),
-            )
-            if bad.any():
-                dead_slots = jnp.asarray(slot_pad[used & bad])
-                table = table.replace(
-                    active=table.active.at[dead_slots].set(False))
-            self.state = self.state.replace(table=table)
+            Lcap = self.state.table.capacity
+            good = used & ~bad
+            slots_g = np.where(good, slot_pad, Lcap)    # drop-mode sentinel
+            slots_d = np.where(used & bad, slot_pad, Lcap)
+            self.state = self.state.replace(table=_ba_writeback(
+                self.state.table, jnp.asarray(slots_g),
+                jnp.asarray(X_opt, jnp.float32), jnp.asarray(slots_d)))
         # attach the live pose rigidly to the corrected last keyframe
         # (landmarks were updated DIRECTLY by BA above — no map transform)
         self._attach_live_to_keyframe(T0[-1], T_opt[-1])

@@ -177,10 +177,10 @@ class StereoInertialTracker(SLAMSystem):
             T_fallback=(None if T_fallback is None
                         else jnp.asarray(T_fallback, jnp.float32)),
         )
-        out.T_wc.block_until_ready()
+        out = jax.device_get(out)      # all per-frame outputs in one read
         self.timings["frame_total"] += time.perf_counter() - t0
         self.frame_count += 1
-        self.trajectory.append(np.asarray(out.T_wc))
+        self.trajectory.append(out.T_wc)
         self.outputs.append(out)
         if bool(out.is_keyframe):
             # record the measured gravity direction for the pose-graph prior

@@ -86,10 +86,10 @@ class StereoTracker:
             do_landmark_opt=do_opt,
             **kwargs,
         )
-        out.T_wc.block_until_ready()
+        out = jax.device_get(out)      # all per-frame outputs in one read
         self.timings["frame_total"] += time.perf_counter() - t0
         self.frame_count += 1
-        self.trajectory.append(np.asarray(out.T_wc))
+        self.trajectory.append(out.T_wc)
         # lost-track detection: >75 % of the previously-visible landmark set
         # gone this frame (ref CTrackerSV.cpp:338-349)
         if self.outputs:
@@ -186,12 +186,14 @@ class StereoTracker:
                 use_gt_pose=self.use_gt_pose,
                 landmark_opt_every=self.landmark_opt_every,
             )
-            stacked.T_wc.block_until_ready()
+            # one device->host transfer for the chunk's outputs (per-frame
+            # device slicing costs a dispatch per field per frame)
+            stacked = jax.device_get(stacked)
             self.timings["frame_total"] += time.perf_counter() - t0
             for i in range(e - s):
                 out = jax.tree_util.tree_map(lambda x: x[i], stacked)
                 self.frame_count += 1
-                self.trajectory.append(np.asarray(out.T_wc))
+                self.trajectory.append(out.T_wc)
                 self.outputs.append(out)
                 outs.append(out)
                 if bool(out.is_keyframe):
@@ -203,15 +205,17 @@ class StereoTracker:
         """Snapshot visible optimal landmarks (ref keyframe = cloud of
         visible optimal landmarks, CTrackerGT.cpp:222-250)."""
         t = self.state.table
-        sel = np.asarray(t.active & t.is_optimal)
+        active, optimal, uid, pos_w, desc = jax.device_get(
+            (t.active, t.is_optimal, t.uid, t.pos_w, t.desc_left_ref))
+        sel = active & optimal
         self.keyframes.append(
             KeyframeRecord(
                 index=len(self.keyframes),
                 frame_idx=self.frame_count - 1,
                 T_wc=np.asarray(out.T_wc),
-                landmark_uids=np.asarray(t.uid)[sel],
-                points_w=np.asarray(t.pos_w)[sel],
-                descriptors=np.asarray(t.desc_left_ref)[sel],
+                landmark_uids=uid[sel],
+                points_w=pos_w[sel],
+                descriptors=desc[sel],
             )
         )
 
