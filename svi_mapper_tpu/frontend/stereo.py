@@ -52,7 +52,8 @@ def match_stereo(
     max_depth: float = 1000.0,
     disparity_center: jax.Array | None = None,  # [K] previous disparity
     search_range: jax.Array | None = None,      # [K] +- px around center
-    force_kernel: bool = False,   # exercise the Pallas path off-TPU (interpret)
+    force_kernel: bool | None = None,   # True: Pallas path (interpret off-TPU);
+                                        # False: XLA row-span path; None: auto
 ) -> StereoMatches:
     """Match left keypoints into the right image along rectified scanlines.
 
@@ -71,7 +72,9 @@ def match_stereo(
     u_r = jnp.clip(jnp.round(uv_left[:, 0]).astype(jnp.int32), 0, w - 1)
     v_r = jnp.clip(jnp.round(uv_left[:, 1]).astype(jnp.int32), 0, h - 1)
 
-    if force_kernel or jax.default_backend() == "tpu":
+    use_kernel = (jax.default_backend() == "tpu" if force_kernel is None
+                  else force_kernel)
+    if use_kernel:
         # Pallas band-sweep profile kernel (ops.stereo_kernel): one HBM pass
         # over the field, per-keypoint scanline scoring in VMEM. Returns the
         # column-indexed profile; flip to ascending-disparity order.

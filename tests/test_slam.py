@@ -42,8 +42,10 @@ def test_slam_loop_improves_ate(loop_run):
     m_opt = ev.evaluate(s.optimized_trajectory(), seq.poses_wc)
     assert np.isfinite(m_opt.ate_rmse_m)
     # the optimized trajectory must beat raw VO significantly on a loop
+    # (bound tightened round 2: observed 0.13 m with the odometry-chain BA
+    # + landmark-identity merges; 0.3 m leaves regression margin)
     assert m_opt.ate_rmse_m < 0.7 * m_raw.ate_rmse_m
-    assert m_opt.ate_rmse_m < 0.5
+    assert m_opt.ate_rmse_m < 0.3
 
 
 def test_slam_keyframe_poses_finite(loop_run):
