@@ -42,9 +42,9 @@ import time
 # `python bench.py --cpu` — same code, same scenario as the TPU run: the
 # round-2 pipeline with oriented epipolar stage-3, regional recovery, and
 # the full back-end on the radius-26 loop)
-CPU_FULL_SLAM_FPS = 6.749
-CPU_FRONTEND_FPS = 6.976
-CPU_BA_ITERS_PER_SEC = 17.33    # 32-keyframe x 4096-landmark window
+CPU_FULL_SLAM_FPS = 6.921
+CPU_FRONTEND_FPS = 6.557
+CPU_BA_ITERS_PER_SEC = 21.6     # 32-keyframe x 4096-landmark window
 
 
 def bench_frontend(quick: bool) -> float:

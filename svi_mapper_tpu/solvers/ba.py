@@ -99,7 +99,7 @@ def _adjoint(T: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "use_schur_kernel"))
 def bundle_adjust(
     T_wc: jax.Array,          # [K,4,4]
     points_w: jax.Array,      # [L,3]
@@ -119,6 +119,9 @@ def bundle_adjust(
                                          # full graph, Cg2o:1258-1266)
     odo_w: jax.Array | None = None,      # [K] edge weights (0 disables; last
                                          # entry unused)
+    use_schur_kernel: bool | None = None,  # fused Pallas Schur assembly
+                                         # (ops.ba_kernel); None = auto: on
+                                         # for float32 problems on TPU
 ) -> BAResult:
     fx, fy = cam.left.fx, cam.left.fy
     cx, cy = cam.left.cx, cam.left.cy
@@ -165,52 +168,76 @@ def bundle_adjust(
     r0, _ = _residuals(T_wc, points_w, obs_uv, fx, fy, cx, cy, bq)
     chi2_init = _chi2(r0, robust_w(r0)) + odo_chi2(T_wc)
 
+    if use_schur_kernel is None:
+        # auto: the fused kernel's VMEM working set scales with (6K)^2
+        # scratch + 7 [6K, BL] row matrices — K <= 32 fits the 16 MB VMEM
+        # budget comfortably; larger windows fall back to the XLA path
+        use_kernel = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32 and K <= 32)
+    else:
+        use_kernel = use_schur_kernel
+
     def lm_step(carry):
         T, X, lam, chi2_prev, it, done = carry
-        r, p_c = _residuals(T, X, obs_uv, fx, fy, cx, cy, bq)
-        w = robust_w(r)                                          # [K,L]
-        # in-front mask (behind-camera obs excluded)
-        w = w * (p_c[..., 2] > 0.05)
-        J_pose, J_point = _jacobians(p_c, T, fx, fy, bq)
+        if use_kernel:
+            # fused Pallas assembly: residuals/weights/Jacobians computed in
+            # VMEM, never materialized (ops.ba_kernel); returns the UNdamped
+            # S = H_pp - W Hll^-1 W^T and the backsub operands
+            from svi_mapper_tpu.ops.ba_kernel import schur_assemble
 
-        # Hessian blocks as explicit batched matmuls: einsum spellings of
-        # these contractions lower to convolutions on TPU (~4x slower)
-        Jp = J_pose.reshape(K, L * 4, 6)
-        Jpw = (J_pose * w[..., None, None]).reshape(K, L * 4, 6)
-        Jl = J_point.transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
-        Jlw = (J_point * w[..., None, None]).transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
-        rk = r.reshape(K, L * 4, 1)
-        rl = r.transpose(1, 0, 2).reshape(L, K * 4, 1)
+            S, rhs, H_ll_inv, b_l, Wpl = schur_assemble(
+                T, X, obs_uv, maskf, lam,
+                fx=fx, fy=fy, cx=cx, cy=cy, bq=bq,
+                kernel_px2=kernel_px2, point_damping=point_damping,
+                interpret=jax.default_backend() != "tpu",
+            )
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                lam * jnp.eye(6, dtype=dtype))
+        else:
+            r, p_c = _residuals(T, X, obs_uv, fx, fy, cx, cy, bq)
+            w = robust_w(r)                                          # [K,L]
+            # in-front mask (behind-camera obs excluded)
+            w = w * (p_c[..., 2] > 0.05)
+            J_pose, J_point = _jacobians(p_c, T, fx, fy, bq)
 
-        H_pp = jnp.matmul(Jpw.transpose(0, 2, 1), Jp, precision=_PREC)   # [K,6,6]
-        H_ll = jnp.matmul(Jlw.transpose(0, 2, 1), Jl, precision=_PREC)   # [L,3,3]
-        # tiny-matrix batched contractions (r-dim 4, m-dim 3) are unrolled
-        # into broadcast-sums: as matmuls they lower to slow convolutions
-        Jpw4 = J_pose * w[..., None, None]                        # [K,L,4,6]
-        H_pl = sum(
-            Jpw4[..., rr, :, None] * J_point[..., rr, None, :] for rr in range(4)
-        )                                                         # [K,L,6,3]
-        b_p = jnp.matmul(Jpw.transpose(0, 2, 1), rk, precision=_PREC)[..., 0]  # [K,6]
-        b_l = jnp.matmul(Jlw.transpose(0, 2, 1), rl, precision=_PREC)[..., 0]  # [L,3]
+            # Hessian blocks as explicit batched matmuls: einsum spellings of
+            # these contractions lower to convolutions on TPU (~4x slower)
+            Jp = J_pose.reshape(K, L * 4, 6)
+            Jpw = (J_pose * w[..., None, None]).reshape(K, L * 4, 6)
+            Jl = J_point.transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
+            Jlw = (J_point * w[..., None, None]).transpose(1, 0, 2, 3).reshape(L, K * 4, 3)
+            rk = r.reshape(K, L * 4, 1)
+            rl = r.transpose(1, 0, 2).reshape(L, K * 4, 1)
 
-        # Levenberg damping
-        H_pp = H_pp + lam * jnp.eye(6, dtype=dtype)[None]
-        H_ll = H_ll + (lam + point_damping) * jnp.eye(3, dtype=dtype)[None]
+            H_pp = jnp.matmul(Jpw.transpose(0, 2, 1), Jp, precision=_PREC)   # [K,6,6]
+            H_ll = jnp.matmul(Jlw.transpose(0, 2, 1), Jl, precision=_PREC)   # [L,3,3]
+            # tiny-matrix batched contractions (r-dim 4, m-dim 3) are unrolled
+            # into broadcast-sums: as matmuls they lower to slow convolutions
+            Jpw4 = J_pose * w[..., None, None]                        # [K,L,4,6]
+            H_pl = sum(
+                Jpw4[..., rr, :, None] * J_point[..., rr, None, :] for rr in range(4)
+            )                                                         # [K,L,6,3]
+            b_p = jnp.matmul(Jpw.transpose(0, 2, 1), rk, precision=_PREC)[..., 0]  # [K,6]
+            b_l = jnp.matmul(Jlw.transpose(0, 2, 1), rl, precision=_PREC)[..., 0]  # [L,3]
 
-        H_ll_inv = _inv3x3(H_ll)                                  # [L,3,3] batched
+            # Levenberg damping
+            H_pp = H_pp + lam * jnp.eye(6, dtype=dtype)[None]
+            H_ll = H_ll + (lam + point_damping) * jnp.eye(3, dtype=dtype)[None]
 
-        # Schur complement S = H_pp_diag - W Hll^-1 W^T as ONE [K6, L3] x
-        # [L3, K6] matmul on the MXU
-        W_Hinv = sum(
-            H_pl[..., :, jj, None] * H_ll_inv[None, :, None, jj, :]
-            for jj in range(3)
-        )                                                         # [K,L,6,3]
-        A = W_Hinv.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
-        B = H_pl.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
-        S_off = jnp.matmul(A, B.T, precision=_PREC).reshape(K, 6, K, 6)
-        S = -S_off
-        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(H_pp)
-        rhs = b_p - jnp.matmul(A, b_l.reshape(L * 3), precision=_PREC).reshape(K, 6)
+            H_ll_inv = _inv3x3(H_ll)                                  # [L,3,3] batched
+
+            # Schur complement S = H_pp_diag - W Hll^-1 W^T as ONE [K6, L3] x
+            # [L3, K6] matmul on the MXU
+            W_Hinv = sum(
+                H_pl[..., :, jj, None] * H_ll_inv[None, :, None, jj, :]
+                for jj in range(3)
+            )                                                         # [K,L,6,3]
+            A = W_Hinv.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
+            B = H_pl.transpose(0, 2, 1, 3).reshape(K * 6, L * 3)
+            S_off = jnp.matmul(A, B.T, precision=_PREC).reshape(K, 6, K, 6)
+            S = -S_off
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(H_pp)
+            rhs = b_p - jnp.matmul(A, b_l.reshape(L * 3), precision=_PREC).reshape(K, 6)
 
         if use_odo:
             # J_{k+1} = I, J_k = -Adj(D_k) (left-multiplicative updates)
@@ -245,12 +272,18 @@ def bundle_adjust(
         dp = -jax.scipy.linalg.cho_solve(c_lo, rhs.reshape(K * 6)).reshape(K, 6)
         dp = dp * free[:, None]
         # back-substitute landmark updates
-        dx = -jnp.matmul(
-            H_ll_inv,
-            (b_l + jnp.matmul(B.T, dp.reshape(K * 6),
-                              precision=_PREC).reshape(L, 3))[..., None],
-            precision=_PREC,
-        )[..., 0]
+        if use_kernel:
+            Wdp = jnp.einsum("bql,q->lb", Wpl, dp.reshape(K * 6),
+                             precision=_PREC)                     # [L,3]
+            dx = -jnp.matmul(H_ll_inv, (b_l + Wdp)[..., None],
+                             precision=_PREC)[..., 0]
+        else:
+            dx = -jnp.matmul(
+                H_ll_inv,
+                (b_l + jnp.matmul(B.T, dp.reshape(K * 6),
+                                  precision=_PREC).reshape(L, 3))[..., None],
+                precision=_PREC,
+            )[..., 0]
 
         T_new = jax.vmap(se3.apply_left_update)(dp, T)
         X_new = X + dx

@@ -106,6 +106,38 @@ def main() -> int:
     print(f"  stereo_kernel       {status} ({both.sum()} matched, "
           f"{bad} disparity mismatches, {ok_agree} ok-flag diffs)")
 
+    # ---- fused BA Schur assembly vs the XLA bundle adjuster ---------------
+    from svi_mapper_tpu.solvers import ba as ba_mod
+    from svi_mapper_tpu.io.synthetic import default_camera as _dc
+    camb = _dc(640, 480)
+    fxb = float(camb.left.fx); cxb = float(camb.left.cx)
+    cyb = float(camb.left.cy); bqb = float(camb.right.P[0, 3])
+    Kb, Lb = 16, 2048
+    Xb = rng.uniform([-10, -3, 4], [10, 3, 40], (Lb, 3)).astype(np.float32)
+    Tb = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
+    Tb[:, 2, 3] = -np.arange(Kb) * 0.8
+    pcb = np.einsum("kij,lj->kli", Tb[:, :3, :3], Xb) + Tb[:, None, :3, 3]
+    zb = pcb[..., 2]
+    obsb = np.stack([fxb*pcb[...,0]/zb+cxb, fxb*pcb[...,1]/zb+cyb,
+                     (fxb*pcb[...,0]+bqb)/zb+cxb, fxb*pcb[...,1]/zb+cyb], -1)
+    obsb += rng.normal(0, 0.5, obsb.shape)
+    maskb = zb > 1.0
+    fixb = np.zeros(Kb, bool); fixb[0] = True
+    argsb = (jnp.asarray(Tb), jnp.asarray(Xb + 0.1),
+             jnp.asarray(obsb, jnp.float32), jnp.asarray(maskb), camb,
+             jnp.asarray(fixb))
+    rx = ba_mod.bundle_adjust(*argsb, max_iterations=8,
+                              min_rel_improvement=0.0, use_schur_kernel=False)
+    rk = ba_mod.bundle_adjust(*argsb, max_iterations=8,
+                              min_rel_improvement=0.0,
+                              use_schur_kernel=on_tpu)
+    cxla, ck = float(rx.chi2_final), float(rk.chi2_final)
+    dT = float(np.abs(np.asarray(rk.T_wc) - np.asarray(rx.T_wc)).max())
+    ok_ba = abs(ck - cxla) < 0.02 * cxla + 1.0 and dT < 5e-3
+    failures += not ok_ba
+    print(f"  ba_schur_kernel     {'OK ' if ok_ba else 'FAIL'} "
+          f"(chi2 {cxla:.1f} vs {ck:.1f}, max pose delta {dT:.1e})")
+
     # ---- Pallas Hamming tile kernel vs packed popcount --------------------
     a = rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint64).astype(np.uint32)
     b = rng.integers(0, 2 ** 32, (384, 8), dtype=np.uint64).astype(np.uint32)
