@@ -65,8 +65,14 @@ def republish(
             ls, rs = _ready(ldir), _ready(rdir)
             pairs = min(len(ls), len(rs))
             while n < pairs:
-                L = _read_image(ls[n])
-                R = _read_image(rs[n])
+                try:
+                    L = _read_image(ls[n])
+                    R = _read_image(rs[n])
+                except Exception:
+                    # a file may still be mid-write by the producer — leave
+                    # it for the next poll (the reference's republisher_node
+                    # reads complete sensor messages, so never hits this)
+                    break
                 if writer is None:
                     writer = native.DumpWriter(
                         str(out_path), L.shape[0], L.shape[1])

@@ -174,16 +174,22 @@ def test_republish_stream_pairs_incoming_frames(tmp_path):
     ]
 
     def feeder():
+        import os
+
         for i, (L, R) in enumerate(frames):
-            # atomic-ish: write right first, then left (pairing keys on both)
-            Image.fromarray(R).save(watch / "right" / f"{i:04d}.500000.png")
-            Image.fromarray(L).save(watch / "left" / f"{i:04d}.500000.png")
+            # atomic: write to a temp name, then rename (right first — the
+            # pairing keys on both sides being present)
+            for sub, img in (("right", R), ("left", L)):
+                tmp = watch / sub / f".tmp_{i:04d}.png"
+                Image.fromarray(img).save(tmp)
+                os.replace(tmp, watch / sub / f"{i:04d}.500000.png")
             _time.sleep(0.05)
 
     t = threading.Thread(target=feeder)
     t.start()
     out = tmp_path / "stream.svid"
-    n = republish(watch, out, poll_s=0.02, idle_timeout_s=1.0,
+    # generous idle timeout: CI machines stall the feeder under load
+    n = republish(watch, out, poll_s=0.02, idle_timeout_s=8.0,
                   log=lambda *a: None)
     t.join()
     assert n == 5
