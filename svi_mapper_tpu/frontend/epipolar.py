@@ -138,7 +138,12 @@ def epipolar_band_params(
     a, b, c = line[:, 0], line[:, 1], line[:, 2]
     norm = jnp.sqrt(a * a + b * b)
 
-    degenerate = (jnp.sum(t_rel * t_rel, -1) < 1e-10) | (norm < 1e-12)
+    # an empty measurement ring (e.g. just cleared by the BA write-back,
+    # which resets meas_count/meas_next but leaves meas_T_wc stale) has no
+    # valid last-observation pose — fall back to the fixed-band geometry
+    # rather than orienting the band from a garbage slot
+    ring_empty = table.meas_count == 0
+    degenerate = (jnp.sum(t_rel * t_rel, -1) < 1e-10) | (norm < 1e-12) | ring_empty
     safe = jnp.maximum(norm, 1e-12)
     nx = jnp.where(degenerate, 0.0, a / safe)
     ny = jnp.where(degenerate, 1.0, b / safe)

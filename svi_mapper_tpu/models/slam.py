@@ -692,9 +692,11 @@ class SLAMSystem(StereoTracker):
         keyframe must join the optimization so the loop reconciles)."""
         n = len(self.slam_keyframes)
         start = max(0, self._last_opt_kf - 1)
-        if lo is not None:
-            start = min(start, lo)
         start = max(start, n - self.incremental_ba_max_window)
+        if lo is not None:
+            # the closure's reference keyframe must join the optimization:
+            # long loops widen past the max-window clamp
+            start = min(start, lo)
         kfs = self.slam_keyframes[start:]
         if len(kfs) < 2:
             return

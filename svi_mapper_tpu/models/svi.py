@@ -93,9 +93,8 @@ class StereoInertialTracker(SLAMSystem):
             T, w, a, jnp.asarray(self.velocity), jnp.asarray(dt, jnp.float32)
         )
 
-        out = self._process_with_prior(L, R, np.asarray(T_prior))
-        self._update_velocity(np.asarray(T), dt)
-        return out
+        return self._process_with_prior(L, R, np.asarray(T_prior),
+                                        T_before=np.asarray(T), dt=float(dt))
 
     def process_imu_samples(self, img_left, img_right, dts, omega, accel):
         """One SVI frame primed by the FULL high-rate IMU stream of the
@@ -145,10 +144,10 @@ class StereoInertialTracker(SLAMSystem):
         T_fb[:3, :3] = np.asarray(se3.exp_so3(jnp.asarray(rot_yz)))
         T_fb = T_fb @ np.asarray(self.state.T_wc)
 
-        out = self._process_with_prior(L, R, np.asarray(T_prior),
-                                       T_fallback=T_fb)
-        self._update_velocity(np.asarray(T), float(np.sum(dts_p)))
-        return out
+        return self._process_with_prior(L, R, np.asarray(T_prior),
+                                        T_fallback=T_fb,
+                                        T_before=np.asarray(T),
+                                        dt=float(np.sum(dts_p)))
 
     def _update_velocity(self, T_before, dt):
         """Velocity from the accepted visual pose (finite difference)."""
@@ -159,7 +158,7 @@ class StereoInertialTracker(SLAMSystem):
 
     # ------------------------------------------------------------------
     def _process_with_prior(self, img_left, img_right, T_prior,
-                            T_fallback=None):
+                            T_fallback=None, T_before=None, dt=None):
         import time
 
         t0 = time.perf_counter()
@@ -182,6 +181,12 @@ class StereoInertialTracker(SLAMSystem):
         self.frame_count += 1
         self.trajectory.append(out.T_wc)
         self.outputs.append(out)
+        # velocity from the visual solve delta, BEFORE back-end corrections
+        # and the robocentric world shift change the gauge — differencing
+        # across a rebase would absorb the shift into a huge spurious
+        # velocity that poisons the next IMU prior
+        if T_before is not None and dt is not None:
+            self._update_velocity(T_before, dt)
         if bool(out.is_keyframe):
             # record the measured gravity direction for the pose-graph prior
             R_wc = np.asarray(self.state.T_wc)[:3, :3]

@@ -51,6 +51,32 @@ def test_slam_loop_improves_ate(loop_run):
     assert m_raw.ate_rmse_m < 0.25
 
 
+@pytest.fixture(scope="module")
+def loop_run_no_ba():
+    """The same loop WITHOUT bundle adjustment: raw VO drifts more, so the
+    closure + pose graph must carry the improvement alone."""
+    seq = SyntheticSequence(
+        n_frames=120, width=512, height=256, trajectory="loop", loop_radius=12.0
+    )
+    s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=False, enable_loop_closure=True)
+    for (L, R, _) in seq:
+        s.process(L, R)
+    return seq, s
+
+
+def test_closure_strictly_improves_without_ba(loop_run_no_ba):
+    """A no-op back-end must fail this: with BA off, the accepted closure's
+    pose-graph relaxation is REQUIRED to strictly beat raw VO (guards
+    against the closure stage silently stopping to improve anything)."""
+    seq, s = loop_run_no_ba
+    assert s.stats["closures_accepted"] >= 1
+    assert s.stats["pose_graph_runs"] >= 1
+    m_raw = ev.evaluate(s.trajectory_array, seq.poses_wc)
+    m_opt = ev.evaluate(s.optimized_trajectory(), seq.poses_wc)
+    assert np.isfinite(m_opt.ate_rmse_m)
+    assert m_opt.ate_rmse_m < 0.9 * m_raw.ate_rmse_m
+
+
 def test_slam_keyframe_poses_finite(loop_run):
     _, s = loop_run
     for kf in s.slam_keyframes:

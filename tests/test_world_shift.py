@@ -113,6 +113,43 @@ def test_world_shift_preserves_output_trajectory():
         assert np.abs(T_out - B[kf.frame_idx]).max() < 5e-3
 
 
+def test_svi_velocity_survives_world_shift(rng=np.random.default_rng(7)):
+    """Regression (ADVICE r2 high): the SVI velocity estimate is a finite
+    difference of poses across the frame; if it differences a post-rebase
+    internal pose against the pre-rebase one, the robocentric shift is
+    absorbed into a huge spurious velocity (shift/dt ~ 40+ m/s here) that
+    poisons the next IMU prior. Velocity must stay near the true speed
+    through the rebase."""
+    from svi_mapper_tpu.imu import interpolator as imu
+    from svi_mapper_tpu.models.svi import StereoInertialTracker
+
+    seq = SyntheticSequence(n_frames=10, width=384, height=192, step=0.5)
+    dt = 0.05                                   # true speed = 10 m/s
+    up = np.array([0.0, -1.0, 0.0])
+    fake = imu.ImuCalibration(
+        R_imu_to_world=np.eye(3), bias_gyro=np.zeros(3), bias_accel=np.zeros(3),
+        noise_gyro=np.zeros(3), noise_accel=np.zeros(3), n_samples=200,
+    )
+    omega, accel = imu.synthesize_measurements(
+        seq.poses_wc, dt, calib=fake, noise_gyro=0.001, noise_accel=0.02)
+
+    tr = StereoInertialTracker(seq.cam, fake, PARAMS, equalize=False,
+                               enable_loop_closure=False, enable_local_ba=False)
+    tr.world_shift_threshold_m = 2.0            # rebase after ~4 frames
+    speeds = []
+    for i, (L, R, _) in enumerate(seq):
+        if i == 0:
+            tr.process_imu(L, R, np.zeros(3), up * imu.GRAVITY, dt)
+        else:
+            tr.process_imu(L, R, omega[i - 1], accel[i - 1], dt)
+        speeds.append(float(np.linalg.norm(tr.velocity)))
+    assert tr.world_shifts >= 1
+    # velocity never spikes to the shift/dt scale (~40 m/s) — stays near 10
+    assert max(speeds) < 20.0
+    m = ev.evaluate(tr.trajectory_array, seq.poses_wc)
+    assert m.ate_rmse_m < 0.15
+
+
 @pytest.mark.slow
 def test_world_shift_in_chunk_mode():
     """Chunk-mode (process_many) with shifts at chunk boundaries: output
