@@ -162,12 +162,13 @@ def bench_ba(quick: bool) -> float:
                                min_rel_improvement=0.0)
     jax.block_until_ready(res.T_wc)
     t0 = time.perf_counter()
-    done = 0
+    its = []
     for _ in range(reps):
         res = ba_mod.bundle_adjust(*args, max_iterations=iters,
                                    min_rel_improvement=0.0)
-        done += int(res.iterations)
-    jax.block_until_ready(res.T_wc)
+        its.append(res.iterations)     # defer sync: int() here would add a
+    jax.block_until_ready(res.T_wc)    # host round trip per rep
+    done = sum(int(x) for x in its)
     return done / (time.perf_counter() - t0)
 
 
@@ -190,6 +191,14 @@ def main() -> None:
         print(format_budget(stage_budget()))
         return
 
+    # certify which kernel path each hot op dispatches to on THIS backend
+    # before measuring (a bench that silently measures the XLA fallback
+    # reports the wrong number) — ops.paths reuses the ops' own gates
+    from svi_mapper_tpu.ops.paths import kernel_paths
+
+    kernels = kernel_paths()
+    print(f"kernel paths: {kernels}", file=sys.stderr)
+
     slam_fps, slam_stats = bench_full_slam(quick)
     frontend_fps = bench_frontend(quick)
     ba_ips = bench_ba(quick)
@@ -208,6 +217,7 @@ def main() -> None:
                 "closures_accepted": slam_stats.get("closures_accepted", 0),
                 "ba_runs": slam_stats.get("ba_runs", 0),
                 "keyframes": slam_stats.get("keyframes", 0),
+                "kernels": kernels,
             }
         )
     )

@@ -43,6 +43,27 @@ from svi_mapper_tpu.geometry.linalg import inv3x3 as _inv3x3
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# largest keyframe window the single-grid fused Pallas Schur-assembly
+# kernel (ops.ba_kernel.schur_assemble) is instantiated for: its VMEM
+# working set is 2 x (K6P)^2 scratch + 7 [K6P, BL] row matrices
+# (+ double-buffered in/out blocks) — K = 64 (K6P = 384) totals ~14 MB
+# against the ~16 MB VMEM budget and does not fit with pipelining;
+# K <= 32 (K6P = 256, ~8 MB) runs comfortably. Windows past it use the
+# K-tiled kernel (schur_assemble_tiled, KT = 32 keyframes per tile) up to
+# SCHUR_KERNEL_TILED_MAX_K; anything else falls back to the XLA path.
+SCHUR_KERNEL_MAX_K = 32
+SCHUR_KERNEL_TILED_MAX_K = 128
+
+
+def schur_kernel_auto(K: int, dtype=jnp.float32) -> bool:
+    """The ``use_schur_kernel=None`` auto gate of :func:`bundle_adjust`,
+    exposed so benchmarks/tools can certify which path a given problem
+    shape dispatches to (VERDICT r2: the bench must report the measured
+    kernel path, not assume it)."""
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and (K <= SCHUR_KERNEL_MAX_K
+                 or (K % 32 == 0 and K <= SCHUR_KERNEL_TILED_MAX_K)))
+
 
 @struct.dataclass
 class BAResult:
@@ -169,11 +190,7 @@ def bundle_adjust(
     chi2_init = _chi2(r0, robust_w(r0)) + odo_chi2(T_wc)
 
     if use_schur_kernel is None:
-        # auto: the fused kernel's VMEM working set scales with (6K)^2
-        # scratch + 7 [6K, BL] row matrices — K <= 32 fits the 16 MB VMEM
-        # budget comfortably; larger windows fall back to the XLA path
-        use_kernel = (jax.default_backend() == "tpu"
-                      and dtype == jnp.float32 and K <= 32)
+        use_kernel = schur_kernel_auto(K, dtype)
     else:
         use_kernel = use_schur_kernel
 
@@ -182,10 +199,14 @@ def bundle_adjust(
         if use_kernel:
             # fused Pallas assembly: residuals/weights/Jacobians computed in
             # VMEM, never materialized (ops.ba_kernel); returns the UNdamped
-            # S = H_pp - W Hll^-1 W^T and the backsub operands
-            from svi_mapper_tpu.ops.ba_kernel import schur_assemble
+            # S = H_pp - W Hll^-1 W^T and the backsub operands. Windows past
+            # the single-grid VMEM budget use the K-tiled variant.
+            from svi_mapper_tpu.ops.ba_kernel import (schur_assemble,
+                                                      schur_assemble_tiled)
 
-            S, rhs, H_ll_inv, b_l, Wpl = schur_assemble(
+            assemble = (schur_assemble if K <= SCHUR_KERNEL_MAX_K
+                        else schur_assemble_tiled)
+            S, rhs, H_ll_inv, b_l, Wpl = assemble(
                 T, X, obs_uv, maskf, lam,
                 fx=fx, fy=fy, cx=cx, cy=cy, bq=bq,
                 kernel_px2=kernel_px2, point_damping=point_damping,

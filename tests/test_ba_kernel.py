@@ -15,7 +15,7 @@ import pytest
 
 from svi_mapper_tpu.geometry.linalg import inv3x3
 from svi_mapper_tpu.io.synthetic import default_camera
-from svi_mapper_tpu.ops.ba_kernel import schur_assemble
+from svi_mapper_tpu.ops.ba_kernel import schur_assemble, schur_assemble_tiled
 from svi_mapper_tpu.solvers import ba as ba_mod
 
 
@@ -88,6 +88,57 @@ def test_schur_assemble_matches_xla_oracle(K, L):
         err = (np.abs(np.asarray(a, np.float64) - b).max() / scale
                if scale else _rel(a, b))
         assert err < tol[nm], f"{nm}: {err:.2e}"
+
+
+def test_schur_assemble_tiled_matches_xla_oracle():
+    """The K-tiled variant (keyframe windows past the single-grid VMEM
+    budget, K = 64 here) against the same XLA oracle."""
+    K, L = 64, 640
+    cam, intr, T, X, Xp, obs, mask = _problem(K=K, L=L)
+    lam = 1e-3
+    out_k = schur_assemble_tiled(
+        jnp.asarray(T), jnp.asarray(Xp), jnp.asarray(obs, jnp.float32),
+        jnp.asarray(mask, jnp.float32), jnp.float32(lam),
+        fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3], bq=intr[4],
+        interpret=True)
+    out_o = _xla_oracle(intr, T, Xp, obs, mask, lam)
+    names = ("S", "rhs", "Hinv", "b_l", "W")
+    tol = dict(S=2e-4, rhs=5e-3, Hinv=2e-4, b_l=2e-4, W=2e-4)
+    for nm, a, b in zip(names, out_k, out_o):
+        scale = np.abs(out_o[3]).max() * 100 if nm == "rhs" else None
+        err = (np.abs(np.asarray(a, np.float64) - b).max() / scale
+               if scale else _rel(a, b))
+        assert err < tol[nm], f"{nm}: {err:.2e}"
+
+
+def test_schur_assemble_tiled_rejects_ragged_windows():
+    cam, intr, T, X, Xp, obs, mask = _problem(K=8, L=64)
+    with pytest.raises(ValueError):
+        schur_assemble_tiled(
+            jnp.asarray(T), jnp.asarray(Xp), jnp.asarray(obs, jnp.float32),
+            jnp.asarray(mask, jnp.float32), jnp.float32(1e-3),
+            fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3], bq=intr[4],
+            interpret=True)
+
+
+def test_bundle_adjust_tiled_kernel_converges_like_xla():
+    """bundle_adjust dispatches the tiled assembly for K = 64 and matches
+    the XLA path's optimum."""
+    K = 64
+    cam, intr, T, X, Xp, obs, mask = _problem(K=K, L=640, noise=0.5)
+    fix = np.zeros(K, bool); fix[0] = True
+    args = (jnp.asarray(T), jnp.asarray(Xp), jnp.asarray(obs, jnp.float32),
+            jnp.asarray(mask), cam, jnp.asarray(fix))
+    res_x = ba_mod.bundle_adjust(*args, max_iterations=6,
+                                 min_rel_improvement=0.0,
+                                 use_schur_kernel=False)
+    res_k = ba_mod.bundle_adjust(*args, max_iterations=6,
+                                 min_rel_improvement=0.0,
+                                 use_schur_kernel=True)
+    c_x, c_k = float(res_x.chi2_final), float(res_k.chi2_final)
+    assert abs(c_k - c_x) < 0.02 * c_x + 1.0
+    assert np.abs(np.asarray(res_k.T_wc) - np.asarray(res_x.T_wc)).max() < 5e-3
+    assert c_x < 0.5 * float(res_x.chi2_initial)
 
 
 def test_bundle_adjust_kernel_path_converges_like_xla():
