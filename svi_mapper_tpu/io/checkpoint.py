@@ -124,6 +124,11 @@ def save_checkpoint(path: str | Path, tracker) -> None:
             flat_uv = [k.obs_uv4 for k in kfs]
             arrays["kf__obs_uv4"] = (np.concatenate(flat_uv, axis=0)
                                      if flat_uv else np.zeros((0, 4), np.float32))
+            # spawn-time world positions (the overlapped back-end's BA
+            # initializer); only when every keyframe carries them
+            if all(len(k.obs_pos) == len(k.obs_uids) for k in kfs):
+                arrays["kf__obs_pos"] = np.concatenate(
+                    [k.obs_pos for k in kfs], axis=0)
             arrays["kf__pool_uids"], arrays["kf__pool_offs"] = _cat(
                 [k.pool_uids for k in kfs], np.int64)
         for name, edges in (("cand", tracker.closure_candidates),
@@ -267,11 +272,14 @@ def load_checkpoint(path: str | Path):
             uids = _split(arrays["kf__obs_uids"], arrays["kf__obs_offs"])
             uv4 = _split(arrays["kf__obs_uv4"], arrays["kf__obs_offs"])
             pools = _split(arrays["kf__pool_uids"], arrays["kf__pool_offs"])
+            pos = (_split(arrays["kf__obs_pos"], arrays["kf__obs_offs"])
+                   if "kf__obs_pos" in arrays else None)
             tracker.slam_keyframes = [
                 SLAMKeyframe(index=i, frame_idx=fi,
                              T_wc=arrays["kf__T_wc"][k],
                              obs_uids=uids[k], obs_uv4=uv4[k],
-                             pool_uids=pools[k])
+                             pool_uids=pools[k],
+                             **({"obs_pos": pos[k]} if pos is not None else {}))
                 for k, (i, fi) in enumerate(zip(s["kf_index"], s["kf_frame_idx"]))
             ]
         for name, dest in (("cand", "closure_candidates"),

@@ -42,6 +42,11 @@ class SLAMKeyframe:
     obs_uids: np.ndarray        # [n] tracked landmark uids at this frame
     obs_uv4: np.ndarray         # [n,4] their stereo measurements
     pool_uids: np.ndarray       # [m] optimal landmarks in the closure pool
+    obs_pos: np.ndarray = dataclasses.field(     # [n,3] world positions of
+        default_factory=lambda: np.zeros((0, 3), np.float32))
+    # the observed landmarks at spawn time — the BA initializer in
+    # overlapped-back-end mode, where the worker must not read the live
+    # landmark table that the tracker thread is concurrently advancing
 
 
 @dataclasses.dataclass
@@ -105,6 +110,7 @@ class SLAMSystem(StereoTracker):
         native_index: bool = False,
         auto_vocab: bool = True,            # train the BoW shortlist in-run
         async_closure: bool = False,
+        overlap_backend: bool = False,
         graph_snapshot_dir: str | None = None,
     ):
         super().__init__(cam, params, use_gt_pose=use_gt_pose)
@@ -154,11 +160,42 @@ class SLAMSystem(StereoTracker):
         # (p_new = _corr_P p_raw; T_new = T_raw @ _corr_M)
         self._corr_P = np.eye(4, dtype=np.float64)
         self._corr_M = np.eye(4, dtype=np.float64)
+        if async_closure and overlap_backend:
+            raise ValueError(
+                "async_closure is subsumed by overlap_backend (the whole "
+                "keyframe tail, closure search included, runs on the "
+                "back-end worker) — enable only one")
         if async_closure:
             from concurrent.futures import ThreadPoolExecutor
 
             self._closure_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="loop-closure")
+        # ---- overlapped back-end (VERDICT r2 Next-2) ---------------------
+        # The reference runs the whole back-end INLINE in the frame loop
+        # (CTrackerSV.cpp:440), stalling tracking at every keyframe. Here
+        # the complete keyframe tail — DB add, closure search, consensus,
+        # pose graph, incremental/windowed BA — runs on ONE worker thread
+        # over queued keyframe snapshots while the tracker thread keeps the
+        # device busy with the next chunk's front-end scan. Results return
+        # as ordered "fold" operations (rigid gauge corrections, landmark
+        # position updates by uid, identity-merge LUTs) that the tracker
+        # applies at chunk boundaries. Gauge consistency: every queued
+        # event carries the number of corrections the tracker had folded
+        # when its snapshot was taken; the worker brings late events into
+        # its own gauge with the cumulative correction products.
+        self._bk_pool = None
+        if overlap_backend:
+            import queue as queue_mod
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bk_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="backend")
+            self._bk_folds: queue_mod.Queue = queue_mod.Queue()
+            self._bk_futures: list = []
+            self._fold_version = 0               # corrections folded (main)
+            self._bk_Pc = [np.eye(4)]            # cumulative map corrections
+            self._bk_Mc = [np.eye(4)]            # cumulative pose corrections
+            self._last_kf_frame_idx = 0          # trajectory-segment anchor
 
     # ------------------------------------------------------------------
     def process(self, img_left, img_right, T_gt=None):
@@ -209,26 +246,46 @@ class SLAMSystem(StereoTracker):
                     self._spawn_keyframe(out)
             if kf_mask.any():
                 sn = jax.device_get(snaps)
-                self._corr_P = np.eye(4, dtype=np.float64)
-                self._corr_M = np.eye(4, dtype=np.float64)
-                for i in np.nonzero(kf_mask)[0]:
-                    i = int(i)
-                    # apply the corrections accumulated from earlier
-                    # keyframes of this chunk to the raw snapshot
-                    T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
-                    P = self._corr_P
-                    pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
-                    self._handle_keyframe(
-                        frame_idx=base + i,
-                        T_wc=T_kf.astype(np.float32),
-                        uid=sn.uid[i], active=sn.active[i],
-                        optimal=sn.optimal[i], tracked=sn.tracked[i],
-                        uv_left=sn.uv_left[i], disparity=sn.disparity[i],
-                        pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
-                        instability=int(stacked.instability[i]),
-                    )
-                    # anchor the recorded trajectory at the corrected pose
-                    self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+                if self._bk_pool is not None:
+                    # overlapped mode: queue raw snapshots (tagged with the
+                    # current fold version) for the back-end worker; the
+                    # worker transforms them into its own gauge
+                    for i in np.nonzero(kf_mask)[0]:
+                        i = int(i)
+                        self._queue_keyframe_event(dict(
+                            frame_idx=base + i,
+                            T_wc=T_all[i].astype(np.float32),
+                            uid=sn.uid[i], active=sn.active[i],
+                            optimal=sn.optimal[i], tracked=sn.tracked[i],
+                            uv_left=sn.uv_left[i],
+                            disparity=sn.disparity[i],
+                            pos_w=sn.pos_w[i], desc=sn.desc[i],
+                            instability=int(stacked.instability[i]),
+                        ))
+                else:
+                    self._corr_P = np.eye(4, dtype=np.float64)
+                    self._corr_M = np.eye(4, dtype=np.float64)
+                    for i in np.nonzero(kf_mask)[0]:
+                        i = int(i)
+                        # apply the corrections accumulated from earlier
+                        # keyframes of this chunk to the raw snapshot
+                        T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
+                        P = self._corr_P
+                        pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
+                        self._handle_keyframe(
+                            frame_idx=base + i,
+                            T_wc=T_kf.astype(np.float32),
+                            uid=sn.uid[i], active=sn.active[i],
+                            optimal=sn.optimal[i], tracked=sn.tracked[i],
+                            uv_left=sn.uv_left[i], disparity=sn.disparity[i],
+                            pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
+                            instability=int(stacked.instability[i]),
+                        )
+                        # anchor the recorded trajectory at the corrected pose
+                        self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+            # fold completed back-end results into the live state at the
+            # chunk boundary (no-op in synchronous mode)
+            self._apply_folds()
             self._maybe_world_shift()
         return outs
 
@@ -240,7 +297,7 @@ class SLAMSystem(StereoTracker):
             (self.state.T_wc, t.uid, t.active, t.is_optimal, t.failed,
              t.uv_left_last, t.disparity_last, t.pos_w, t.desc_left_ref,
              self.state.instability))
-        self._handle_keyframe(
+        payload = dict(
             frame_idx=self.frame_count - 1,
             T_wc=T_wc,
             uid=uid,
@@ -253,11 +310,176 @@ class SLAMSystem(StereoTracker):
             desc=desc,
             instability=int(inst),
         )
+        if self._bk_pool is not None:
+            self._queue_keyframe_event(payload)
+            self._apply_folds()
+            return
+        self._handle_keyframe(**payload)
         # keep the recorded trajectory piecewise-consistent: after back-end
         # corrections the live pose changed; the keyframe's trajectory entry
         # must be the CORRECTED pose so each inter-keyframe segment is
         # internally consistent and anchors exactly at raw[kf.frame_idx]
         self.trajectory[-1] = np.asarray(self.state.T_wc)
+
+    # ------------------------------------------------------------------
+    # overlapped back-end: event queue (tracker thread) + fold application
+    # ------------------------------------------------------------------
+    def _queue_keyframe_event(self, payload: dict) -> None:
+        """Submit a raw keyframe snapshot to the back-end worker. Tagged
+        with the tracker's current fold version so the worker can transform
+        it into its own (possibly further-corrected) gauge."""
+        payload["version"] = self._fold_version
+        self._last_kf_frame_idx = payload["frame_idx"]
+        self._bk_futures.append(
+            self._bk_pool.submit(self._bk_handle_keyframe, payload))
+
+    def _bk_handle_keyframe(self, payload: dict) -> None:
+        """Worker-thread keyframe handler: transform the snapshot from the
+        tracker gauge at queue time into the worker gauge, then run the
+        full keyframe tail (DB add, closure search, pose graph, BA)."""
+        v = payload.pop("version")
+        n = len(self._bk_Pc) - 1
+        if v < n:
+            # corrections (v..n] were emitted after this snapshot was taken
+            # (prefix products cancel: Pc_n Pc_v^-1 = P_n ... P_{v+1})
+            Pd = self._bk_Pc[n] @ np.linalg.inv(self._bk_Pc[v])
+            Md = np.linalg.inv(self._bk_Mc[v]) @ self._bk_Mc[n]
+            payload["T_wc"] = (
+                payload["T_wc"].astype(np.float64) @ Md).astype(np.float32)
+            payload["pos_w"] = (
+                payload["pos_w"] @ Pd[:3, :3].T + Pd[:3, 3]
+            ).astype(np.float32)
+        self._handle_keyframe(**payload)
+
+    def _emit_corr(self, P: np.ndarray, M: np.ndarray) -> None:
+        """Worker thread: emit a rigid gauge correction for the live state
+        (map points p -> P p; poses T -> T M) and extend the cumulative
+        products used to transform late keyframe events."""
+        self._bk_Pc.append(np.asarray(P, np.float64) @ self._bk_Pc[-1])
+        self._bk_Mc.append(self._bk_Mc[-1] @ np.asarray(M, np.float64))
+        self._bk_folds.put(("corr", np.asarray(P, np.float64),
+                            np.asarray(M, np.float64)))
+
+    def _apply_folds(self) -> None:
+        """Tracker thread: apply every completed fold operation to the live
+        state, in the order the worker emitted them."""
+        if self._bk_pool is None:
+            return
+        import queue as queue_mod
+
+        # surface worker exceptions instead of silently dropping the back-end
+        still = []
+        for f in self._bk_futures:
+            if f.done():
+                f.result()
+            else:
+                still.append(f)
+        self._bk_futures = still
+        while True:
+            try:
+                op = self._bk_folds.get_nowait()
+            except queue_mod.Empty:
+                break
+            kind = op[0]
+            if kind == "corr":
+                self._fold_corr(op[1], op[2])
+            elif kind == "lmk":
+                self._fold_landmarks(op[1], op[2], op[3])
+            elif kind == "canon":
+                self._apply_canon_to_live(op[1])
+
+    def _fold_corr(self, P: np.ndarray, M: np.ndarray) -> None:
+        """Apply a rigid back-end correction to the live tracking state:
+        map p -> P p, pose chain T -> T M, stored observation poses
+        X -> X P^-1 (the overlapped analog of _apply_world_correction /
+        _attach_live_to_keyframe)."""
+        Pj = jnp.asarray(P, jnp.float32)
+        Mj = jnp.asarray(M, jnp.float32)
+        Pinv = jnp.asarray(np.linalg.inv(P), jnp.float32)
+        t = self.state.table
+        pos_new = t.pos_w @ Pj[:3, :3].T + Pj[:3, 3]
+        meas_T_new = jnp.einsum("lmij,jk->lmik", t.meas_T_wc, Pinv)
+        self.state = self.state.replace(
+            T_wc=self.state.T_wc @ Mj,
+            T_wc_prev=self.state.T_wc_prev @ Mj,
+            T_last_keyframe=self.state.T_last_keyframe @ Mj,
+            table=t.replace(pos_w=pos_new, meas_T_wc=meas_T_new),
+        )
+        # rewrite the current trajectory segment (anchor keyframe included)
+        # so raw relative poses within the segment stay pure VO and the
+        # post-fold chain continues from the corrected pose
+        for j in range(self._last_kf_frame_idx, len(self.trajectory)):
+            self.trajectory[j] = np.asarray(
+                self.trajectory[j], np.float64) @ M
+        self._fold_version += 1
+
+    def _fold_landmarks(self, uids: np.ndarray, X: np.ndarray,
+                        dead_uids: np.ndarray) -> None:
+        """Write BA-optimized landmark positions into the live table by uid
+        (slots may have been recycled since the worker's snapshot — only
+        rows whose uid still matches are touched) and deactivate excised
+        landmarks."""
+        t = self.state.table
+        live_uid = np.asarray(jax.device_get(t.uid), np.int64)
+        cap = t.capacity
+        order = np.argsort(live_uid, kind="stable")
+
+        def to_slots(us: np.ndarray) -> np.ndarray:
+            if len(us) == 0:
+                return np.zeros(0, np.int32)
+            pos = np.searchsorted(live_uid[order], us)
+            posc = np.clip(pos, 0, cap - 1)
+            slot = order[posc]
+            ok = live_uid[slot] == us
+            return np.where(ok, slot, cap).astype(np.int32)
+
+        slots_good = to_slots(np.asarray(uids, np.int64))
+        slots_dead = to_slots(np.asarray(dead_uids, np.int64))
+        # pad to shape buckets (cap = drop-mode sentinel) so the jitted
+        # write-back compiles once per bucket, not once per call
+        n_g = self._bucket(max(len(slots_good), 1), 64)
+        n_d = self._bucket(max(len(slots_dead), 1), 64)
+        sg = np.full(n_g, cap, np.int32); sg[:len(slots_good)] = slots_good
+        sd = np.full(n_d, cap, np.int32); sd[:len(slots_dead)] = slots_dead
+        Xp = np.zeros((n_g, 3), np.float32)
+        Xp[:len(slots_good)] = np.asarray(X, np.float32)
+        self.state = self.state.replace(table=_ba_writeback(
+            t, jnp.asarray(sg), jnp.asarray(Xp), jnp.asarray(sd)))
+
+    def _apply_canon_to_live(self, lut: dict) -> None:
+        """Rewrite live-table uids through an identity-merge LUT and keep
+        only the best-observed row per canonical identity."""
+        if not lut:
+            return
+        t = self.state.table
+        uid_np = np.asarray(jax.device_get(t.uid))
+        canon = uid_np.copy()
+        for u, c in lut.items():
+            canon[uid_np == u] = c
+        active = np.asarray(jax.device_get(t.active)).copy()
+        meas = np.asarray(jax.device_get(t.meas_count))
+        order = np.argsort(-meas, kind="stable")
+        seen: set[int] = set()
+        for row in order:
+            u = int(canon[row])
+            if not active[row] or u < 0:
+                continue
+            if u in seen:
+                active[row] = False
+            else:
+                seen.add(u)
+        self.state = self.state.replace(table=t.replace(
+            uid=jnp.asarray(canon, jnp.int32), active=jnp.asarray(active)))
+
+    def flush_backend(self) -> None:
+        """Wait for the back-end worker to drain its queue, then fold all
+        results (no-op when overlap mode is off)."""
+        if self._bk_pool is None:
+            return
+        for f in self._bk_futures:
+            f.result()
+        self._bk_futures = []
+        self._apply_folds()
 
     def _handle_keyframe(
         self, *, frame_idx: int, T_wc: np.ndarray, uid: np.ndarray,
@@ -281,6 +503,7 @@ class SLAMSystem(StereoTracker):
             obs_uids=uid[obs_sel].copy(),
             obs_uv4=uv4[obs_sel].copy(),
             pool_uids=uid[active & optimal].copy(),
+            obs_pos=pos_w[obs_sel].copy(),
         )
         self.slam_keyframes.append(kf)
 
@@ -339,7 +562,10 @@ class SLAMSystem(StereoTracker):
     def flush_closures(self, block: bool = True) -> None:
         """Fold finished async closure searches into the graph; with
         ``block=True`` wait for all pending ones first (call before reading
-        final results or checkpointing)."""
+        final results or checkpointing). In overlapped-back-end mode this
+        drains the whole back-end queue."""
+        if self._bk_pool is not None and block:
+            self.flush_backend()
         if self._closure_pool is None:
             return
         still = []
@@ -450,7 +676,8 @@ class SLAMSystem(StereoTracker):
 
     def _merge_closure_landmarks(self, edge: ClosureEdge) -> int:
         """Union the matched uid pairs of an accepted closure and collapse
-        duplicate live-table rows onto the canonical landmark."""
+        duplicate live-table rows onto the canonical landmark (directly in
+        synchronous mode; as a fold operation in overlapped mode)."""
         n_new = 0
         for (uq, ur) in edge.uid_pairs:
             if int(uq) < 0 or int(ur) < 0 or int(uq) == int(ur):
@@ -459,25 +686,14 @@ class SLAMSystem(StereoTracker):
                 n_new += 1
         if n_new == 0:
             return 0
-        # rewrite live-table uids to canonical; where two active rows now
-        # share an identity, keep the better-observed one
-        t = self.state.table
-        uid_np = np.asarray(t.uid)
-        canon = self._canon_uids(uid_np)
-        active = np.asarray(t.active).copy()
-        meas = np.asarray(t.meas_count)
-        order = np.argsort(-meas, kind="stable")
-        seen: dict[int, int] = {}
-        for row in order:
-            u = int(canon[row])
-            if not active[row] or u < 0:
-                continue
-            if u in seen:
-                active[row] = False
-            else:
-                seen[u] = row
-        self.state = self.state.replace(table=t.replace(
-            uid=jnp.asarray(canon, jnp.int32), active=jnp.asarray(active)))
+        # full changed-uid LUT (covers earlier merges too — a recycled slot
+        # may still carry a stale pre-merge uid)
+        lut = {u: self._uid_find(u) for u in list(self._uid_parent)}
+        lut = {u: c for u, c in lut.items() if u != c}
+        if self._bk_pool is not None:
+            self._bk_folds.put(("canon", lut))
+        else:
+            self._apply_canon_to_live(lut)
         self.stats["landmarks_merged"] = (
             self.stats.get("landmarks_merged", 0) + n_new)
         return n_new
@@ -542,7 +758,9 @@ class SLAMSystem(StereoTracker):
             valid=jnp.asarray(v_pad),
         )
         fix = np.zeros(N, bool); fix[0] = True; fix[N0:] = True
-        res = pg_mod.optimize_pose_graph(jnp.asarray(T), edges, jnp.asarray(fix))
+        res = pg_mod.optimize_pose_graph(
+            jnp.asarray(T), edges, jnp.asarray(fix),
+            gravity=self._gravity_priors(N0, N))
         T_opt = np.asarray(res.T_wc)[:N0]
         self.stats["pose_graph_runs"] += 1
         if not np.isfinite(T_opt).all() or float(res.chi2_final) > float(res.chi2_initial):
@@ -555,7 +773,27 @@ class SLAMSystem(StereoTracker):
             np.concatenate([T_opt, np.asarray(self.db.T_wc)[N0:]], axis=0),
             jnp.float32,
         )
-        self._apply_world_correction(T0[-1].astype(np.float32), T_opt[-1])
+        if self._bk_pool is not None:
+            # overlapped mode: emit the rigid world correction for the
+            # tracker thread to fold (p -> G p, T -> T G^-1)
+            G = self._world_correction(T0[-1], T_opt[-1].astype(np.float64))
+            self._emit_corr(G, np.linalg.inv(G))
+        else:
+            self._apply_world_correction(T0[-1].astype(np.float32), T_opt[-1])
+
+    # ------------------------------------------------------------------
+    def _gravity_priors(self, N0: int, N: int):
+        """Per-keyframe gravity unaries for the pose graph ([N]-padded), or
+        None. The stereo-only system has no gravity observations; the SVI
+        tracker overrides this (ref EdgeSE3LinearAcceleration,
+        Cg2oOptimizer.cpp:411)."""
+        return None
+
+    def _gravity_ba_terms(self, kfs: list, K: int):
+        """(down_cam [K,3], weight [K]) gravity unaries for a BA window, or
+        None. Overridden by the SVI tracker (ref gravity edges in the FULL
+        graph, Cg2oOptimizer.cpp:982-997)."""
+        return None
 
     # ------------------------------------------------------------------
     def _attach_live_to_keyframe(self, T_kf_old: np.ndarray, T_kf_new: np.ndarray) -> None:
@@ -650,6 +888,25 @@ class SLAMSystem(StereoTracker):
         if mask.sum() < 20 * K0:
             return None
 
+        if self._bk_pool is not None:
+            # overlapped mode (worker thread): the live table belongs to the
+            # tracker thread — initialize each landmark from the NEWEST
+            # keyframe snapshot that observed it (assignment order = kf
+            # order, so later keyframes win)
+            all_pos = np.concatenate([kf.obs_pos for kf in kfs])
+            if len(all_pos) != len(all_uids):
+                return None      # snapshot positions missing (e.g. keyframes
+                                 # restored from a pre-overlap checkpoint)
+            X0 = np.zeros((Lpad, 3), np.float32)
+            havep = np.zeros(Lpad, bool)
+            sel = keep & (inv >= 0) & (inv < L0)
+            X0[inv[sel]] = all_pos[sel]
+            havep[inv[sel]] = True
+            mask &= havep[None, :]
+            if mask.sum() < 24:
+                return None
+            return uids, obs, mask, X0, np.full(Lpad, -1, np.int32)
+
         # current landmark positions by uid lookup in the live table
         # (one fused device->host read)
         t = self.state.table
@@ -721,6 +978,73 @@ class SLAMSystem(StereoTracker):
         T0[:K0] = np.stack([kf.T_wc for kf in kfs]).astype(np.float32)
         fix = np.zeros(K, bool); fix[0] = True; fix[K0:] = True
 
+        # depth-consistency gate (ref 0.75 < |p_est|^2/|p_meas|^2 < 1.25,
+        # Cg2oOptimizer.cpp:1403-1410): an observation whose stereo-
+        # triangulated range disagrees with the current estimate by >25%
+        # (one bad stereo match, a moved object) never enters BA — the
+        # robust kernel would still give it full weight near the estimate.
+        # One addition over the reference: when a landmark's measurements
+        # agree with EACH OTHER but not with its estimate, the estimate
+        # (not the data) is wrong — re-initialize it from the measurements
+        # instead of gating away exactly the signal that would fix it (the
+        # reference gets this for free: its vertex estimates start FROM the
+        # measured points, Cg2oOptimizer.cpp:1383-1401).
+        fxl, fyl = float(self.cam.left.fx), float(self.cam.left.fy)
+        cxl, cyl = float(self.cam.left.cx), float(self.cam.left.cy)
+        bq = float(self.cam.right.P[0, 3])
+        disp = obs[:K0, :, 0] - obs[:K0, :, 2]               # [K0, Lpad]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z_meas = np.where(disp > 0.01, -bq / np.maximum(disp, 0.01), np.inf)
+            x_meas = (obs[:K0, :, 0] - cxl) * z_meas / fxl
+            y_meas = (obs[:K0, :, 1] - cyl) * z_meas / fyl
+            d2_meas = x_meas ** 2 + y_meas ** 2 + z_meas ** 2
+
+            def gate(X):
+                p_est = (np.einsum("kij,lj->kli", T0[:K0, :3, :3], X)
+                         + T0[:K0, None, :3, 3])
+                rel = (p_est ** 2).sum(-1) / d2_meas
+                band = np.isfinite(rel) & (rel > 0.75) & (rel < 1.25)
+                # pixel-space tolerance floor: our residuals are in px, where
+                # matching noise is CONSTANT (~0.5 px) — a far landmark with
+                # 2 px disparity fails the 25% RANGE band on sub-pixel noise
+                # alone while carrying a perfectly good pixel residual (the
+                # reference's disparity tier likewise bottoms out at 1 px,
+                # Cg2oOptimizer.cpp:1444-1447)
+                d_pred = -bq / np.maximum(p_est[..., 2], 1e-3)
+                return band | (np.abs(disp - d_pred) <= 1.0)
+
+            consistent = gate(X0)
+            m0 = mask[:K0] & np.isfinite(d2_meas)
+            n_obs = np.maximum(m0.sum(0), 1)
+            bad_frac = (m0 & ~consistent).sum(0) / n_obs
+            # measurement self-consistency: back-projected world points of
+            # one landmark must cluster relative to the measured range
+            p_meas = np.stack([x_meas, y_meas, z_meas], -1)   # [K0,Lpad,3]
+            p_w = np.einsum(
+                "kji,klj->kli", T0[:K0, :3, :3],
+                np.where(m0[..., None], p_meas, 0.0) - T0[:K0, None, :3, 3])
+            mean_w = (p_w * m0[..., None]).sum(0) / n_obs[:, None]
+            spread2 = ((((p_w - mean_w) ** 2).sum(-1)) * m0).sum(0) / n_obs
+            rbar = (np.sqrt(np.where(m0, d2_meas, 0.0))).sum(0) / n_obs
+            self_ok = (m0.sum(0) >= 2) & (np.sqrt(spread2) < 0.25 * rbar)
+            reinit = self_ok & (bad_frac > 0.5)
+            if reinit.any():
+                X0 = X0.copy()
+                X0[reinit] = mean_w[reinit]
+                consistent = gate(X0)
+                self.stats["landmarks_reinit"] = (
+                    self.stats.get("landmarks_reinit", 0) + int(reinit.sum()))
+        n_gated = int((mask[:K0] & ~consistent).sum())
+        if n_gated:
+            mask = mask.copy()
+            mask[:K0] &= consistent
+            # a landmark reduced below two observations no longer constrains
+            mask &= (mask.sum(0) >= 2)[None, :]
+            self.stats["obs_depth_gated"] = (
+                self.stats.get("obs_depth_gated", 0) + n_gated)
+            if mask.sum() < 24:
+                return False
+
         # pose-pose odometry chain anchored to the CURRENT (post-pose-graph)
         # keyframe chain, information 1e5/(1 + |dt|^2) as in the reference
         # full graph (Cg2oOptimizer.cpp:1258-1266; measurements updated by
@@ -737,6 +1061,13 @@ class SLAMSystem(StereoTracker):
         T_cur, X_cur = jnp.asarray(T0), jnp.asarray(X0)
         obs_j, mask_j, fix_j = jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(fix)
         odo_Mj, odo_wj = jnp.asarray(odo_M), jnp.asarray(odo_w)
+        # per-keyframe gravity unaries in the FULL graph (SVI runs; ref
+        # Cg2oOptimizer.cpp:982-997) — None on stereo-only systems
+        grav = self._gravity_ba_terms(kfs, K)
+        grav_kw = {}
+        if grav is not None:
+            grav_kw = dict(grav_d=jnp.asarray(grav[0], jnp.float32),
+                           grav_w=jnp.asarray(grav[1], jnp.float32))
         chi2_init = None
         chi2_prev = None
         for _ in range(max_chunks):
@@ -744,7 +1075,7 @@ class SLAMSystem(StereoTracker):
                 T_cur, X_cur, obs_j, mask_j, self.cam, fix_j,
                 kernel_px2=self.params.posit_kernel_px2,
                 max_iterations=10,
-                odo_M=odo_Mj, odo_w=odo_wj,
+                odo_M=odo_Mj, odo_w=odo_wj, **grav_kw,
             )
             # one device->host round trip per chunk
             c0, chi2_new = jax.device_get((res.chi2_initial, res.chi2_final))
@@ -795,6 +1126,33 @@ class SLAMSystem(StereoTracker):
         # write back keyframe poses
         for k, kf in enumerate(kfs):
             kf.T_wc = T_opt[k]
+
+        if self._bk_pool is not None:
+            # overlapped mode: the live table belongs to the tracker thread —
+            # emit the landmark updates (keyed by uid, not slot: slots may
+            # have been recycled) and the rigid pose correction as fold ops
+            L0 = len(uids)
+            used = mask[:, :L0].any(0)
+            good = used & ~bad[:L0]
+            dead = used & bad[:L0]
+            gu, gx = uids[good], X_opt[:L0][good]
+            # refresh the window's snapshot positions so the NEXT window's
+            # initializer starts from the BA result
+            if len(gu):
+                for kf in kfs:
+                    if len(kf.obs_pos) != len(kf.obs_uids):
+                        continue
+                    cu = self._canon_uids(kf.obs_uids.astype(np.int64))
+                    p = np.searchsorted(gu, cu)
+                    pc = np.clip(p, 0, len(gu) - 1)
+                    ok = gu[pc] == cu
+                    kf.obs_pos[ok] = gx[pc[ok]]
+            self._bk_folds.put(("lmk", gu, gx, uids[dead]))
+            A = (np.linalg.inv(T0[-1].astype(np.float64))
+                 @ T_opt[-1].astype(np.float64))
+            self._emit_corr(np.eye(4), A)
+            return True
+
         # write back landmark positions (only BA'd, still-live landmarks);
         # excised landmarks deactivate instead. One fused dispatch:
         # BA'd landmarks also get their measurement rings cleared — the
@@ -846,7 +1204,12 @@ class SLAMSystem(StereoTracker):
         """Robocentric rebase extended to the back-end state: keyframe
         poses, the closure database, and the chunk gauge accumulators all
         move into the new internal frame (ref m_vecTranslationToG2o is
-        threaded through every g2o call, CTrackerGT.h:84)."""
+        threaded through every g2o call, CTrackerGT.h:84).
+
+        In overlapped mode the (rare — every ~512 m) shift is a
+        synchronization point: the worker drains first so both threads
+        cross the gauge change together."""
+        self.flush_backend()
         super()._world_shift(c)
         Tc = self._translate4(c)
         for kf in self.slam_keyframes:

@@ -140,6 +140,12 @@ def bundle_adjust(
                                          # full graph, Cg2o:1258-1266)
     odo_w: jax.Array | None = None,      # [K] edge weights (0 disables; last
                                          # entry unused)
+    grav_d: jax.Array | None = None,     # [K,3] measured camera-frame down
+                                         # directions — per-keyframe gravity
+                                         # unary in the FULL graph (ref
+                                         # EdgeSE3LinearAcceleration,
+                                         # Cg2oOptimizer.cpp:982-997)
+    grav_w: jax.Array | None = None,     # [K] gravity weights (0 disables)
     use_schur_kernel: bool | None = None,  # fused Pallas Schur assembly
                                          # (ops.ba_kernel); None = auto: on
                                          # for float32 problems on TPU
@@ -186,8 +192,24 @@ def bundle_adjust(
         _, r_o = odo_residuals(T)
         return jnp.sum(wo * jnp.sum(r_o * r_o, axis=-1))
 
+    # gravity-direction unary (ref error = R_n2w a_hat - (0,0,-1),
+    # edge_se3_linear_acceleration.cpp:106-116; our world down is (0,-1,0)):
+    # residual r_g = R_wc g_down - d_measured, J = [0 | -hat(R g_down)]
+    # under the left-multiplicative update
+    use_grav = grav_d is not None
+
+    def grav_residuals(T):
+        Rg = -T[:, :3, 1]                     # R_wc @ (0,-1,0)
+        return Rg, Rg - grav_d                # [K,3], [K,3]
+
+    def grav_chi2(T):
+        if not use_grav:
+            return jnp.asarray(0.0, dtype)
+        _, r_g = grav_residuals(T)
+        return jnp.sum(grav_w * jnp.sum(r_g * r_g, axis=-1))
+
     r0, _ = _residuals(T_wc, points_w, obs_uv, fx, fy, cx, cy, bq)
-    chi2_init = _chi2(r0, robust_w(r0)) + odo_chi2(T_wc)
+    chi2_init = _chi2(r0, robust_w(r0)) + odo_chi2(T_wc) + grav_chi2(T_wc)
 
     if use_schur_kernel is None:
         use_kernel = schur_kernel_auto(K, dtype)
@@ -278,6 +300,17 @@ def bundle_adjust(
                 -wo[:, None] * jnp.einsum("kji,kj->ki", Adj, r_o,
                                           precision=_PREC))
 
+        if use_grav:
+            Rg, r_g = grav_residuals(T)
+            A = -se3.hat(Rg)                                  # [K,3,3] = J_phi
+            kk = jnp.arange(K)
+            wg = grav_w[:, None, None]
+            S = S.at[kk, 3:, kk, 3:].add(
+                wg * jnp.matmul(A.transpose(0, 2, 1), A, precision=_PREC))
+            rhs = rhs.at[:, 3:].add(
+                grav_w[:, None] * jnp.einsum("kji,kj->ki", A, r_g,
+                                             precision=_PREC))
+
         # gauge fixing: zero out rows/cols of fixed poses, identity diagonal
         free = (~fix_mask).astype(dtype)                          # [K]
         Sm = S * free[:, None, None, None] * free[None, None, :, None]
@@ -310,7 +343,8 @@ def bundle_adjust(
         X_new = X + dx
 
         r_new, _ = _residuals(T_new, X_new, obs_uv, fx, fy, cx, cy, bq)
-        chi2_new = _chi2(r_new, robust_w(r_new)) + odo_chi2(T_new)
+        chi2_new = (_chi2(r_new, robust_w(r_new)) + odo_chi2(T_new)
+                    + grav_chi2(T_new))
         accept = chi2_new < chi2_prev
         T = jnp.where(accept, T_new, T)
         X = jnp.where(accept, X_new, X)

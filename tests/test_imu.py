@@ -150,6 +150,80 @@ def test_svi_tracker_end_to_end(rng):
     assert m.ate_rmse_m < 0.15
 
 
+def test_gravity_unary_in_ba_aligns_rotation():
+    """The per-keyframe gravity unary in bundle_adjust (ref full-graph
+    EdgeSE3LinearAcceleration, Cg2oOptimizer.cpp:982-997) must pull rolled
+    poses back toward the measured down direction."""
+    import jax.numpy as jnp
+
+    from svi_mapper_tpu.io.synthetic import default_camera
+    from svi_mapper_tpu.solvers import ba as ba_mod
+
+    K, L = 4, 16
+    cam = default_camera(320, 240)
+    roll = 0.3
+    Rz = np.array([[np.cos(roll), -np.sin(roll), 0],
+                   [np.sin(roll), np.cos(roll), 0],
+                   [0, 0, 1]], np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    T[1:, :3, :3] = Rz                      # keyframes 1.. rolled 0.3 rad
+    down = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (K, 1))
+    fix = np.zeros(K, bool); fix[0] = True
+    # no reprojection terms: the unary alone must drive the rotation
+    obs = np.zeros((K, L, 4), np.float32)
+    mask = np.zeros((K, L), bool)
+    X = np.tile(np.array([0.0, 0.0, 5.0], np.float32), (L, 1))
+    res = ba_mod.bundle_adjust(
+        jnp.asarray(T), jnp.asarray(X), jnp.asarray(obs), jnp.asarray(mask),
+        cam, jnp.asarray(fix), max_iterations=25, min_rel_improvement=0.0,
+        grav_d=jnp.asarray(down), grav_w=jnp.full((K,), 10.0, jnp.float32),
+        use_schur_kernel=False)
+    assert float(res.chi2_final) < 0.05 * float(res.chi2_initial)
+    T_f = np.asarray(res.T_wc)
+    for k in range(1, K):
+        d = -T_f[k, :3, 1]                  # R_wc @ (0,-1,0)
+        assert np.dot(d, down[k]) > 0.999, f"keyframe {k} still tilted"
+
+
+def test_svi_incremental_ba_stays_gravity_consistent(rng):
+    """SVI corridor with the incremental full-graph BA enabled: post-BA
+    keyframe rotations must stay aligned with the recorded gravity
+    directions (VERDICT r2 Missing-3: without the unary the incremental BA
+    can rotate the map against gravity)."""
+    seq = SyntheticSequence(n_frames=16, width=512, height=256, step=0.5)
+    dt = 0.05
+    bias_g = np.array([0.01, -0.004, 0.002])
+    bias_a = np.array([0.05, -0.02, 0.1])
+    up = np.array([0.0, -1.0, 0.0])
+    calib = imu.calibrate(bias_g + rng.normal(0, 0.001, (200, 3)),
+                          up * imu.GRAVITY + bias_a + rng.normal(0, 0.01, (200, 3)))
+    fake = imu.ImuCalibration(
+        R_imu_to_world=np.eye(3), bias_gyro=bias_g, bias_accel=bias_a,
+        noise_gyro=np.zeros(3), noise_accel=np.zeros(3), n_samples=200,
+    )
+    omega, accel = imu.synthesize_measurements(
+        seq.poses_wc, dt, calib=fake, noise_gyro=0.002, noise_accel=0.05)
+    params = dataclasses.replace(
+        DEFAULT_PARAMS, max_landmarks=512, max_detections=512,
+        keyframe_translation_m2=0.25, keyframe_rotation_rad2=0.01,
+        optimize_every_keyframes=4)
+    tr = StereoInertialTracker(seq.cam, calib, params, equalize=False,
+                               enable_loop_closure=False,
+                               enable_local_ba=True, local_ba_every=2)
+    for i, (L, R, _) in enumerate(seq):
+        if i == 0:
+            tr.process_imu(L, R, np.zeros(3), up * imu.GRAVITY, dt)
+        else:
+            tr.process_imu(L, R, omega[i - 1], accel[i - 1], dt)
+    assert tr.stats["ba_runs"] >= 1
+    assert len(tr.slam_keyframes) >= 4
+    for k, kf in enumerate(tr.slam_keyframes):
+        d = -np.asarray(kf.T_wc)[:3, 1]     # R_wc @ (0,-1,0)
+        g = tr.gravity_obs[k]
+        cosang = float(np.dot(d, g) / (np.linalg.norm(d) * np.linalg.norm(g)))
+        assert cosang > 0.995, f"keyframe {k} tilted {np.degrees(np.arccos(min(cosang,1))):.1f} deg"
+
+
 def test_integrate_prior_samples_varying_rate():
     """Per-sample integration (imu.integrate_prior_samples) must track a
     rotation rate that VARIES inside the frame interval — where the

@@ -94,6 +94,37 @@ def test_slam_ba_gates_reject_bad_windows(loop_run):
     # and every accepted BA kept keyframes sane (checked via finiteness above)
 
 
+def test_depth_consistency_gate_excludes_outliers():
+    """An observation whose stereo disparity disagrees with the current
+    estimate by >25% must never enter BA (ref 0.75-1.25 relative-distance
+    gate, Cg2oOptimizer.cpp:1403-1410) — previously one bad stereo match
+    fed BA at full robust weight."""
+    params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=256,
+                                 max_detections=256,
+                                 keyframe_translation_m2=0.25,
+                                 keyframe_rotation_rad2=0.01)
+    seq = SyntheticSequence(n_frames=24, width=512, height=256, step=0.4)
+    s = SLAMSystem(seq.cam, params, enable_loop_closure=False,
+                   enable_local_ba=True, local_ba_every=100)  # manual BA only
+    for (L, R, _) in seq:
+        s.process(L, R)
+    assert len(s.slam_keyframes) >= 4
+    # corrupt the stereo disparity of a few observations on one keyframe:
+    # halving the disparity doubles the measured depth (rel ~ 0.25)
+    kf = s.slam_keyframes[-2]
+    n_bad = min(6, len(kf.obs_uids))
+    assert n_bad >= 3
+    uv = kf.obs_uv4.copy()
+    disp = uv[:n_bad, 0] - uv[:n_bad, 2]
+    uv[:n_bad, 2] = uv[:n_bad, 0] - 0.5 * disp
+    kf.obs_uv4 = uv
+    before = s.stats.get("obs_depth_gated", 0)
+    s._local_ba()
+    assert s.stats.get("obs_depth_gated", 0) >= before + n_bad
+    for k in s.slam_keyframes:
+        assert np.isfinite(k.T_wc).all()
+
+
 def test_pose_fallback_cascade_recovers_from_bad_prior():
     """Corrupted constant-velocity prior: the raw-prior attempt must fail,
     the rotation-only retry (predicted rotation + last camera center, ref
