@@ -419,3 +419,88 @@ def process_chunk(
         out, snaps = ys
         return state, out, snaps
     return state, ys
+
+
+def process_chunk_svi(
+    state: FrameState,
+    imgs_left: jax.Array,       # [N, H, W] float32 — RAW frames (pre-
+    imgs_right: jax.Array,      #   processing runs inside the scan)
+    cam: StereoCamera,
+    params: TrackingParams,
+    dts: jax.Array,             # [N, cap] per-sample time steps (0-padded)
+    omega: jax.Array,           # [N, cap, 3] raw IMU angular velocities
+    accel: jax.Array,           # [N, cap, 3] raw IMU specific forces
+    valid: jax.Array,           # [N, cap] bool sample mask
+    velocity0: jax.Array,       # [3] camera-frame linear velocity carry-in
+    R_ci: jax.Array,            # [3,3] IMU->camera rotation
+    bias_gyro: jax.Array,       # [3]
+    bias_accel: jax.Array,      # [3]
+    *,
+    landmark_opt_every: int = 1,
+    equalize: bool = False,
+    rect_maps: tuple | None = None,   # (mlx, mly, mrx, mry) or None
+) -> tuple:
+    """SVI throughput mode: the stereo-inertial frame step under one
+    ``lax.scan`` (VERDICT r2 Weak-5: the per-frame SVI path paid a host
+    dispatch per frame). Each scan step integrates the frame interval's
+    IMU sample block into a pose prior from the CARRIED velocity + pose
+    (imu.interpolator.integrate_prior_samples — the 200 Hz per-sample
+    path), equalizes/rectifies the raw frames on device
+    (ref CTrackerSVI.cpp:339-341), runs the visual solve with the IMU
+    dead-reckoning fallback (x-zeroed rotation, ref :548-551), and updates
+    the velocity from the accepted pose delta — numerically identical
+    stepping to N sequential ``process_imu_samples`` calls.
+
+    Returns ``(state, velocity, outputs, snapshots)``.
+    """
+    from svi_mapper_tpu.imu import interpolator as imu_mod
+    from svi_mapper_tpu.ops.image import equalize_hist, remap_bilinear
+
+    every = max(1, landmark_opt_every)
+    prec = jax.lax.Precision.HIGHEST
+
+    def prep(x, mx, my):
+        if equalize:
+            x = equalize_hist(
+                jnp.clip(x, 0, 255).astype(jnp.uint8)).astype(jnp.float32)
+        if rect_maps is not None:
+            x = remap_bilinear(x, mx, my)
+        return x
+
+    def step(carry, inp):
+        st, vel = carry
+        l, r, dt_s, om, ac, va = inp
+        if rect_maps is not None:
+            mlx, mly, mrx, mry = rect_maps
+        else:
+            mlx = mly = mrx = mry = None
+        l = prep(l, mlx, mly)
+        r = prep(r, mrx, mry)
+        T = st.T_wc
+        T_prior, rot_total = imu_mod.integrate_prior_samples(
+            T, dt_s, om, ac, va, vel, R_ci, bias_gyro, bias_accel)
+        # dead-reckoning fallback: damped rotation-only with the x
+        # component zeroed (ref CTrackerSVI.cpp:548-551)
+        rot_yz = rot_total.at[0].set(0.0)
+        T_fb = jnp.matmul(
+            jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(
+                se3.exp_so3(rot_yz)), T, precision=prec)
+        do_opt = (st.frame_idx % every) == 0
+        st2, out = process_frame(
+            st, l, r, cam, params, T_prior,
+            use_external_prior=True, do_landmark_opt=do_opt,
+            T_fallback=T_fb,
+        )
+        # velocity from the accepted visual delta, in the pre-correction
+        # gauge (models.svi._update_velocity semantics)
+        delta = jnp.matmul(st2.T_wc, se3.inv_T(T), precision=prec)
+        xi = se3.log_se3(delta)
+        dt_total = jnp.sum(dt_s * va)
+        vel2 = jnp.where(dt_total > 1e-6,
+                         xi[:3] / jnp.maximum(dt_total, 1e-6), vel)
+        return (st2, vel2), (out, snapshot_of(st2.table))
+
+    (state, vel), (outs, snaps) = jax.lax.scan(
+        step, (state, jnp.asarray(velocity0, jnp.float32)),
+        (imgs_left, imgs_right, dts, omega, accel, valid))
+    return state, vel, outs, snaps

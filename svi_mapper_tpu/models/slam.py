@@ -233,61 +233,76 @@ class SLAMSystem(StereoTracker):
             # per-frame device slicing would cost thousands of dispatches
             stacked = jax.device_get(stacked)
             self.timings["frame_total"] += time.perf_counter() - t0
-            kf_mask = stacked.is_keyframe
-            T_all = stacked.T_wc
-            base = self.frame_count
-            for i in range(e - s):
-                out = jax.tree_util.tree_map(lambda x: x[i], stacked)
-                self.frame_count += 1
-                self.trajectory.append(T_all[i])
-                self.outputs.append(out)
-                outs.append(out)
-                if kf_mask[i]:
-                    self._spawn_keyframe(out)
-            if kf_mask.any():
-                sn = jax.device_get(snaps)
-                if self._bk_pool is not None:
-                    # overlapped mode: queue raw snapshots (tagged with the
-                    # current fold version) for the back-end worker; the
-                    # worker transforms them into its own gauge
-                    for i in np.nonzero(kf_mask)[0]:
-                        i = int(i)
-                        self._queue_keyframe_event(dict(
-                            frame_idx=base + i,
-                            T_wc=T_all[i].astype(np.float32),
-                            uid=sn.uid[i], active=sn.active[i],
-                            optimal=sn.optimal[i], tracked=sn.tracked[i],
-                            uv_left=sn.uv_left[i],
-                            disparity=sn.disparity[i],
-                            pos_w=sn.pos_w[i], desc=sn.desc[i],
-                            instability=int(stacked.instability[i]),
-                        ))
-                else:
-                    self._corr_P = np.eye(4, dtype=np.float64)
-                    self._corr_M = np.eye(4, dtype=np.float64)
-                    for i in np.nonzero(kf_mask)[0]:
-                        i = int(i)
-                        # apply the corrections accumulated from earlier
-                        # keyframes of this chunk to the raw snapshot
-                        T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
-                        P = self._corr_P
-                        pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
-                        self._handle_keyframe(
-                            frame_idx=base + i,
-                            T_wc=T_kf.astype(np.float32),
-                            uid=sn.uid[i], active=sn.active[i],
-                            optimal=sn.optimal[i], tracked=sn.tracked[i],
-                            uv_left=sn.uv_left[i], disparity=sn.disparity[i],
-                            pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
-                            instability=int(stacked.instability[i]),
-                        )
-                        # anchor the recorded trajectory at the corrected pose
-                        self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+            outs.extend(self._finish_chunk(stacked, snaps, e - s))
             # fold completed back-end results into the live state at the
             # chunk boundary (no-op in synchronous mode)
             self._apply_folds()
             self._maybe_world_shift()
         return outs
+
+    def _finish_chunk(self, stacked, snaps, n_frames: int) -> list:
+        """Per-frame bookkeeping + keyframe dispatch for one completed scan
+        chunk (shared by the stereo and SVI throughput drivers)."""
+        outs: list = []
+        kf_mask = stacked.is_keyframe
+        T_all = stacked.T_wc
+        base = self.frame_count
+        for i in range(n_frames):
+            out = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            self.frame_count += 1
+            self.trajectory.append(T_all[i])
+            self.outputs.append(out)
+            outs.append(out)
+            if kf_mask[i]:
+                self._spawn_keyframe(out)
+        if kf_mask.any():
+            sn = jax.device_get(snaps)
+            if self._bk_pool is not None:
+                # overlapped mode: queue raw snapshots (tagged with the
+                # current fold version) for the back-end worker; the
+                # worker transforms them into its own gauge
+                for i in np.nonzero(kf_mask)[0]:
+                    i = int(i)
+                    self._note_keyframe_pose(T_all[i])
+                    self._queue_keyframe_event(dict(
+                        frame_idx=base + i,
+                        T_wc=T_all[i].astype(np.float32),
+                        uid=sn.uid[i], active=sn.active[i],
+                        optimal=sn.optimal[i], tracked=sn.tracked[i],
+                        uv_left=sn.uv_left[i],
+                        disparity=sn.disparity[i],
+                        pos_w=sn.pos_w[i], desc=sn.desc[i],
+                        instability=int(stacked.instability[i]),
+                    ))
+            else:
+                self._corr_P = np.eye(4, dtype=np.float64)
+                self._corr_M = np.eye(4, dtype=np.float64)
+                for i in np.nonzero(kf_mask)[0]:
+                    i = int(i)
+                    # apply the corrections accumulated from earlier
+                    # keyframes of this chunk to the raw snapshot
+                    T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
+                    P = self._corr_P
+                    pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
+                    self._note_keyframe_pose(T_kf)
+                    self._handle_keyframe(
+                        frame_idx=base + i,
+                        T_wc=T_kf.astype(np.float32),
+                        uid=sn.uid[i], active=sn.active[i],
+                        optimal=sn.optimal[i], tracked=sn.tracked[i],
+                        uv_left=sn.uv_left[i], disparity=sn.disparity[i],
+                        pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
+                        instability=int(stacked.instability[i]),
+                    )
+                    # anchor the recorded trajectory at the corrected pose
+                    self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+        return outs
+
+    def _note_keyframe_pose(self, T_wc: np.ndarray) -> None:
+        """Hook invoked once per chunk-mode keyframe, in order, just before
+        its event dispatches (the SVI tracker records the measured gravity
+        direction here so gravity_obs stays index-aligned with
+        slam_keyframes)."""
 
     # ------------------------------------------------------------------
     def _on_keyframe(self, out) -> None:

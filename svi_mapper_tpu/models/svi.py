@@ -154,6 +154,67 @@ class StereoInertialTracker(SLAMSystem):
                                         T_before=np.asarray(T),
                                         dt=float(np.sum(dts_p)))
 
+    def process_many_imu(self, imgs_left, imgs_right, dts, omega, accel,
+                         chunk: int = 16) -> list:
+        """SVI throughput mode: chunked-scan stereo-inertial tracking with
+        the full back-end folded at chunk boundaries (the SVI analog of
+        SLAMSystem.process_many; VERDICT r2 Weak-5).
+
+        Args:
+          imgs_left/imgs_right: [N, H, W] RAW frames (equalization and
+            rectification run inside the scan).
+          dts / omega / accel: length-N sequences of per-frame IMU sample
+            blocks ([n_i], [n_i,3], [n_i,3] — raw IMU frame), as produced
+            by a 200 Hz stream split at frame boundaries.
+        """
+        import time
+
+        n = len(imgs_left)
+        cap = self._imu_sample_cap
+        dts_p = np.zeros((n, cap), np.float32)
+        om_p = np.zeros((n, cap, 3), np.float32)
+        ac_p = np.zeros((n, cap, 3), np.float32)
+        va_p = np.zeros((n, cap), bool)
+        for i in range(n):
+            d = np.asarray(dts[i], np.float32)
+            k = min(len(d), cap)
+            dts_p[i, :k] = d[-k:]
+            om_p[i, :k] = np.asarray(omega[i], np.float32)[-k:]
+            ac_p[i, :k] = np.asarray(accel[i], np.float32)[-k:]
+            va_p[i, :k] = True
+        Lj = jnp.asarray(imgs_left, jnp.float32)
+        Rj = jnp.asarray(imgs_right, jnp.float32)
+        dts_j, om_j = jnp.asarray(dts_p), jnp.asarray(om_p)
+        ac_j, va_j = jnp.asarray(ac_p), jnp.asarray(va_p)
+        bg = jnp.asarray(self.calib.bias_gyro, jnp.float32)
+        ba = jnp.asarray(self.calib.bias_accel, jnp.float32)
+
+        outs: list = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            t0 = time.perf_counter()
+            self.state, vel, stacked, snaps = frame_mod.process_chunk_svi(
+                self.state, Lj[s:e], Rj[s:e], self.cam, self.params,
+                dts_j[s:e], om_j[s:e], ac_j[s:e], va_j[s:e],
+                jnp.asarray(self.velocity), self._R_ci, bg, ba,
+                landmark_opt_every=self.landmark_opt_every,
+                equalize=self.equalize, rect_maps=self.rectify_maps,
+            )
+            stacked = jax.device_get(stacked)
+            self.velocity = np.asarray(vel, np.float32)
+            self.timings["frame_total"] += time.perf_counter() - t0
+            outs.extend(self._finish_chunk(stacked, snaps, e - s))
+            self._apply_folds()
+            self._maybe_world_shift()
+        return outs
+
+    def _note_keyframe_pose(self, T_wc: np.ndarray) -> None:
+        """Chunk-mode keyframes record the measured gravity direction
+        (index-aligned with slam_keyframes) for the pose-graph/BA unaries."""
+        R_wc = np.asarray(T_wc, np.float64)[:3, :3]
+        down_w = np.array([0.0, -1.0, 0.0], np.float64)
+        self.gravity_obs.append((R_wc @ down_w).astype(np.float32))
+
     def _update_velocity(self, T_before, dt):
         """Velocity from the accepted visual pose (finite difference)."""
         delta = np.asarray(self.state.T_wc) @ np.linalg.inv(T_before)
