@@ -221,6 +221,13 @@ class TrackingParams:
     closure_icp_max_iterations: int = 100
     closure_consensus_chi2: float = 0.25
     closure_hamming_cutoff: int = 25    # ref CKeyFrame.h:12 MAXIMUM_DISTANCE_HAMMING
+    # probabilistic (bit-statistics) candidate matching: expected Hamming
+    # against the pooled per-bit probabilities under the probability cutoff
+    # (ref CBPTree.h:41-50 matching; MAXIMUM_DISTANCE_HAMMING_PROBABILITY=50,
+    # CKeyFrame.h:13). Keeps closure recall when photometric noise pushes
+    # per-snapshot descriptors past the exact cutoff between revisits.
+    closure_probabilistic: bool = True
+    closure_prob_cutoff: float = 50.0
 
     # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
     motion_scaling_cap: float = 5.0

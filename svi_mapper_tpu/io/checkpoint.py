@@ -141,6 +141,8 @@ def save_checkpoint(path: str | Path, tracker) -> None:
         # keyframe database pools (device arrays -> host)
         for f in ("desc", "p_cam", "valid", "count", "T_wc"):
             arrays[f"db__{f}"] = np.asarray(getattr(tracker.db, f))
+        if tracker.db.prob is not None:
+            arrays["db__prob"] = np.asarray(tracker.db.prob)
         if kind == "svi":
             meta["svi"] = {
                 "equalize": tracker.equalize,
@@ -297,6 +299,10 @@ def load_checkpoint(path: str | Path):
         db.n = s["db_n"]
         for f in ("desc", "p_cam", "valid", "count", "T_wc"):
             setattr(db, f, jnp.asarray(arrays[f"db__{f}"]))
+        # checkpoints from before probabilistic pools lack db__prob:
+        # drop the live prob store so matching degrades to exact-Hamming
+        db.prob = (jnp.asarray(arrays["db__prob"])
+                   if "db__prob" in arrays else None)
         db.count_host = [int(c) for c in arrays["db__count"][: db.n]]
         db.capacity = int(arrays["db__desc"].shape[0])
         if db.index is not None:

@@ -87,15 +87,16 @@ def _texture(p: jax.Array) -> jax.Array:
     return (0.75 * hard + 0.25 * soft) * 255.0
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def render_view(
+def raycast(
     T_wc: jax.Array, fx: jax.Array, cx: jax.Array, cy: jax.Array,
     baseline_shift: jax.Array, width: int, height: int,
-) -> jax.Array:
-    """Render one camera view of the plane world.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Intersect the per-pixel view rays with the plane world.
 
-    ``baseline_shift`` is the camera-center x-offset in the LEFT camera frame
-    (0 for left, +baseline for right).
+    Returns ``(o, dir_w, best_t)``: camera center in world [3], world-frame
+    ray directions [H, W, 3], and ray parameter of the first hit [H, W]
+    (``inf`` where no plane is hit). Shared by the clean renderer below and
+    the photometric stressor renderer (`io/stress.py`).
     """
     T_cw = se3.inv_T(T_wc)
     R_cw = T_cw[:3, :3]
@@ -129,7 +130,20 @@ def render_view(
         d2 = jnp.einsum("hwi,i->hw", hit - p0[None, None, :], a2)
         ok = (t > 0.1) & (jnp.abs(d1) <= e1) & (jnp.abs(d2) <= e2)
         best_t = jnp.where(ok & (t < best_t), t, best_t)
+    return o, dir_w, best_t
 
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render_view(
+    T_wc: jax.Array, fx: jax.Array, cx: jax.Array, cy: jax.Array,
+    baseline_shift: jax.Array, width: int, height: int,
+) -> jax.Array:
+    """Render one camera view of the plane world.
+
+    ``baseline_shift`` is the camera-center x-offset in the LEFT camera frame
+    (0 for left, +baseline for right).
+    """
+    o, dir_w, best_t = raycast(T_wc, fx, cx, cy, baseline_shift, width, height)
     hit_w = o[None, None, :] + best_t[..., None] * dir_w
     img = _texture(hit_w)
     return jnp.where(jnp.isfinite(best_t), img, 0.0)

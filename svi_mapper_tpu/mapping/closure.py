@@ -40,6 +40,11 @@ def _db_set(desc_a, p_a, v_a, c_a, T_a, k, d, p, v, n, T):
             c_a.at[k].set(n), T_a.at[k].set(T))
 
 
+@jax.jit
+def _db_set_prob(prob_a, k, pr):
+    return prob_a.at[k].set(pr)
+
+
 @dataclasses.dataclass
 class KeyframeDatabase:
     """Growable stack of keyframe descriptor/point pools
@@ -64,6 +69,10 @@ class KeyframeDatabase:
     count: jax.Array       # [K] int32
     T_wc: jax.Array        # [K, 4, 4] keyframe poses at spawn
     n: int = 0             # number of keyframes stored
+    # per-pool-entry descriptor bit probabilities, quantized to uint8
+    # (ref CPDescriptorBRIEF mean-bit vectors stored per keyframe,
+    # CKeyFrame.h:86-94 / CPDescriptorBRIEF.h:10-33); None = not stored
+    prob: jax.Array | None = None   # [K, P, 256] uint8
     index: object | None = None  # optional native DescriptorIndex
     bow: object | None = None    # optional mapping.vocabulary.BowDatabase
     auto_vocab: bool = True      # train the BoW vocabulary in-run
@@ -80,7 +89,8 @@ class KeyframeDatabase:
     def create(cls, capacity: int = 512, pool_size: int = 256,
                native_index: bool = False,
                vocabulary: object | None = None,
-               auto_vocab: bool = True) -> "KeyframeDatabase":
+               auto_vocab: bool = True,
+               store_prob: bool = True) -> "KeyframeDatabase":
         """Default shortlisting = in-run BoW (the reference's DBoW2 role);
         the native tree index is opt-in — its single-leaf NN votes have
         lower recall than BoW scoring under viewpoint drift, matching the
@@ -106,6 +116,8 @@ class KeyframeDatabase:
             valid=jnp.zeros((capacity, pool_size), jnp.bool_),
             count=jnp.zeros((capacity,), jnp.int32),
             T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)).copy(),
+            prob=(jnp.zeros((capacity, pool_size, 256), jnp.uint8)
+                  if store_prob else None),
             index=index,
             bow=bow,
             auto_vocab=auto_vocab,
@@ -126,6 +138,9 @@ class KeyframeDatabase:
         self.T_wc = jnp.concatenate(
             [self.T_wc,
              jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (pad, 4, 4))])
+        if self.prob is not None:
+            self.prob = jnp.concatenate(
+                [self.prob, jnp.zeros((pad, P, 256), jnp.uint8)])
         self.capacity *= 2
 
     def _train_vocab(self) -> None:
@@ -146,8 +161,13 @@ class KeyframeDatabase:
         for d in descs:
             self.bow.add(d)
 
-    def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray) -> int:
-        """Append one keyframe pool (truncated/padded to pool_size)."""
+    def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray,
+            prob: np.ndarray | None = None) -> int:
+        """Append one keyframe pool (truncated/padded to pool_size).
+
+        ``prob`` [n, 256] uint8 — optional quantized bit probabilities of
+        the pooled landmarks (the probabilistic descriptors the reference
+        stores per keyframe, CKeyFrame.h:86-94)."""
         if self.n >= self.capacity:
             self._grow()
         P = self.pool_size
@@ -166,6 +186,18 @@ class KeyframeDatabase:
             k, jnp.asarray(d), jnp.asarray(p), jnp.asarray(v),
             jnp.int32(n), jnp.asarray(T_wc, jnp.float32),
         )
+        if self.prob is not None:
+            pr = np.zeros((P, 256), np.uint8)
+            if prob is not None:
+                pr[:n] = prob[:n]
+            else:
+                # fall back to the binary snapshot as a degenerate (0/255)
+                # probability so prob-mode matching degrades to exact
+                from svi_mapper_tpu.ops.descriptors import unpack_bits
+                pr[:n] = np.asarray(
+                    jax.device_get(unpack_bits(jnp.asarray(d[:n])))
+                ).astype(np.uint8) * 255
+            self.prob = _db_set_prob(self.prob, k, jnp.asarray(pr))
         self.count_host.append(n)
         self.n = k + 1
         if self.index is not None:
@@ -284,7 +316,31 @@ def count_pool_matches_many(
                    axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("cutoff",))
+def _prob_distance(desc_q, prob_q, desc_r, prob_r):
+    """Symmetric expected-Hamming distance matrix [P, P] between two pools.
+
+    Each side contributes E[d(bits, mean_bits_other)] = sum(p) + b.(1-2p)
+    (mapping.bitstats); averaging both directions uses BOTH observation
+    histories — the TPU-shaped analog of the reference matching binary
+    queries against stored CPDescriptorBRIEF mean-bit vectors
+    (CBPNode.h leaf scan, cutoff CKeyFrame.h:13)."""
+    from svi_mapper_tpu.ops.descriptors import unpack_bits
+
+    bq = unpack_bits(desc_q).astype(jnp.float32)          # [P, 256]
+    br = unpack_bits(desc_r).astype(jnp.float32)
+    pq = prob_q.astype(jnp.float32) / 255.0
+    pr = prob_r.astype(jnp.float32) / 255.0
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_qr = jnp.sum(pr, -1)[None, :] + dot(bq, 1.0 - 2.0 * pr)   # [Pq, Pr]
+    d_rq = jnp.sum(pq, -1)[None, :] + dot(br, 1.0 - 2.0 * pq)   # [Pr, Pq]
+    return 0.5 * (d_qr + d_rq.T)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff", "prob_cutoff"))
 def match_pools_many(
     query_kf: jax.Array,          # scalar int32 — query pool index
     cand_idx: jax.Array,          # [C] database keyframe indices
@@ -294,6 +350,8 @@ def match_pools_many(
     icp_inlier_m2: float = 1.0,
     icp_min_inliers: int = 25,
     icp_max_avg_error: float = 0.9,
+    prob_db: jax.Array | None = None,   # [K,P,256] u8 — enables prob matching
+    prob_cutoff: float = 50.0,
 ):
     """Mutual matching + ICP validation of one query pool against C
     candidate pools in ONE dispatch (vmapped match_pools + align_clouds)."""
@@ -303,10 +361,14 @@ def match_pools_many(
     desc_r = jnp.take(desc_db, cand_idx, axis=0)
     p_r = jnp.take(p_db, cand_idx, axis=0)
     valid_r = jnp.take(valid_db, cand_idx, axis=0)
+    prob_q = None if prob_db is None else prob_db[query_kf]
+    prob_r = None if prob_db is None else jnp.take(prob_db, cand_idx, axis=0)
 
-    def one(dr, pr, vr, Ti):
+    def one(dr, pr, vr, Ti, prob_ri):
         pq, prm, ok, fwd = match_pools(desc_q, p_q, valid_q, dr, pr, vr,
-                                       cutoff=cutoff)
+                                       cutoff=cutoff, prob_q=prob_q,
+                                       prob_r=prob_ri,
+                                       prob_cutoff=prob_cutoff)
         res = align_clouds(pq, prm, ok, T_init=Ti,
                            inlier_m2=icp_inlier_m2,
                            min_inliers=icp_min_inliers,
@@ -318,29 +380,48 @@ def match_pools_many(
         inl = ok & (err2 < icp_inlier_m2)
         return n_matches, res.T_qr, res.ok, res.inliers, inl, fwd
 
-    return jax.vmap(one)(desc_r, p_r, valid_r, T_init)
+    if prob_r is None:
+        return jax.vmap(lambda dr, pr, vr, Ti: one(dr, pr, vr, Ti, None))(
+            desc_r, p_r, valid_r, T_init)
+    return jax.vmap(one)(desc_r, p_r, valid_r, T_init, prob_r)
 
 
-@functools.partial(jax.jit, static_argnames=("cutoff",))
+@functools.partial(jax.jit, static_argnames=("cutoff", "prob_cutoff"))
 def match_pools(
     desc_q: jax.Array, p_q: jax.Array, valid_q: jax.Array,
     desc_r: jax.Array, p_r: jax.Array, valid_r: jax.Array,
     cutoff: int = 25,
+    prob_q: jax.Array | None = None,   # [P,256] u8 bit probabilities
+    prob_r: jax.Array | None = None,
+    prob_cutoff: float = 50.0,
 ):
     """Mutual-nearest matching of two keyframe pools -> aligned point pairs.
 
     Returns (pq [P,3], pr [P,3], ok [P], fwd [P]): for each query-pool
     slot, the matched reference point and its pool slot index (one-to-one
     enforced, ref CBPTree.h:41-50 / _getMatchNN CTrackerGT.cpp:648-678).
+
+    With ``prob_q``/``prob_r`` given, the distance is the symmetric expected
+    Hamming between each pool's bit-probability history under the
+    probabilistic cutoff (ref MAXIMUM_DISTANCE_HAMMING_PROBABILITY = 50,
+    CKeyFrame.h:13) — robust to the per-snapshot descriptor noise that
+    starves exact matching under photometric stress.
     """
-    x = desc_q[:, None, :] ^ desc_r[None, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_q[:, None] & valid_r[None, :], d, _BIG)
+    if prob_q is not None and prob_r is not None:
+        d = _prob_distance(desc_q, prob_q, desc_r, prob_r)
+        big = jnp.float32(1e9)
+        d = jnp.where(valid_q[:, None] & valid_r[None, :], d, big)
+        cut = jnp.float32(prob_cutoff)
+    else:
+        x = desc_q[:, None, :] ^ desc_r[None, :, :]
+        d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        d = jnp.where(valid_q[:, None] & valid_r[None, :], d, _BIG)
+        cut = cutoff
     fwd = jnp.argmin(d, axis=1)
     bwd = jnp.argmin(d, axis=0)
     dist = jnp.take_along_axis(d, fwd[:, None], axis=1)[:, 0]
     mutual = bwd[fwd] == jnp.arange(d.shape[0])
-    ok = mutual & (dist <= cutoff) & valid_q
+    ok = mutual & (dist <= cut) & valid_q
     return p_q, p_r[fwd], ok, fwd
 
 
@@ -419,12 +500,25 @@ def find_closures(
     exclude_recent: int = 10,
     max_candidates: int = 4,
     icp_kwargs: dict | None = None,
+    probabilistic: bool = True,
+    prob_cutoff: float = 50.0,       # ref CKeyFrame.h:13
 ) -> list[ClosureCandidate]:
     """Find validated loop closures of keyframe ``query_kf`` against all
     earlier keyframes (the _getLoopClosuresForKeyFrame pipeline,
-    CTrackerGT.cpp:383-645)."""
+    CTrackerGT.cpp:383-645).
+
+    With ``probabilistic`` (and a DB that stores bit probabilities), the
+    per-candidate matching stage uses expected-Hamming against the pooled
+    bit-statistics under the probability cutoff (the CBPTree role,
+    CBPTree.h:41-50): the exact-Hamming shortlist still places candidates,
+    but only the absolute match floor gates them in — the relative gate
+    (ref :479) moves to the noise-robust probabilistic match count. This
+    keeps recall under photometric stress, where per-snapshot descriptors
+    drift 25+ bits between revisits while the bit means stay aligned.
+    """
     if query_kf < 1:
         return []
+    use_prob = probabilistic and db.prob is not None
     n_q = db.count_of(query_kf)          # host mirror — no device read
     if n_q < min_matches:
         return []
@@ -467,10 +561,13 @@ def find_closures(
     # only earlier, temporally non-adjacent keyframes are eligible
     lo = max(0, query_kf - exclude_recent)
     scores[lo:] = 0
-    # relative-match gate (ref :479) + absolute floor
+    # relative-match gate (ref :479) + absolute floor. In probabilistic
+    # mode only the absolute floor applies here; the relative gate is
+    # enforced on the probabilistic match count after the match stage.
     floor = max(min_matches, int(min_relative * n_q))
+    entry = min_matches if use_prob else floor
     cand_idx = np.argsort(scores)[::-1][:max_candidates]
-    cand_idx = [int(c) for c in cand_idx if scores[c] >= floor]
+    cand_idx = [int(c) for c in cand_idx if scores[c] >= entry]
     if not cand_idx:
         return []
 
@@ -493,13 +590,16 @@ def find_closures(
             icp_inlier_m2=kw.get("inlier_m2", 1.0),
             icp_min_inliers=kw.get("min_inliers", 25),
             icp_max_avg_error=kw.get("max_avg_error", 0.9),
+            prob_db=db.prob if use_prob else None,
+            prob_cutoff=prob_cutoff,
         )
     )
 
+    match_floor = floor if use_prob else min_matches
     results = []
     for k in range(n_cand):
         c = int(cand_pad[k])
-        if int(n_matches[k]) < min_matches or not bool(icp_ok[k]):
+        if int(n_matches[k]) < match_floor or not bool(icp_ok[k]):
             continue
         # post-ICP inlier correspondences: the same inlier rule the
         # acceptance gates use (solvers.icp, ref CTrackerGT.cpp:524)

@@ -248,3 +248,12 @@ def measurement_mask(table: LandmarkTable) -> jax.Array:
     M = table.max_measurements
     counts = jnp.minimum(table.meas_count, M)
     return jnp.arange(M)[None, :] < counts[:, None]
+
+
+def bit_prob_u8(table: LandmarkTable) -> jax.Array:
+    """[L, 256] uint8 — per-landmark descriptor bit probabilities quantized
+    to 1/255 steps (``bit_sum / meas_count``; the CPDescriptorBRIEF mean-bit
+    vector, CPDescriptorBRIEF.h:10-33, fed to the closure pool)."""
+    cnt = jnp.maximum(table.meas_count.astype(jnp.float32), 1.0)
+    p = table.bit_sum / cnt[:, None]
+    return jnp.round(255.0 * jnp.clip(p, 0.0, 1.0)).astype(jnp.uint8)

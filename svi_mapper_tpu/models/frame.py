@@ -82,6 +82,8 @@ class KeyframeSnapshot:
     disparity: jax.Array  # [L]
     pos_w: jax.Array      # [L, 3]
     desc: jax.Array       # [L, 8] uint32 left reference descriptors
+    bit_prob: jax.Array   # [L, 256] uint8 quantized bit probabilities
+                          # (closure-pool probabilistic descriptors)
 
 
 def snapshot_of(table: lm.LandmarkTable) -> KeyframeSnapshot:
@@ -94,6 +96,7 @@ def snapshot_of(table: lm.LandmarkTable) -> KeyframeSnapshot:
         disparity=table.disparity_last,
         pos_w=table.pos_w,
         desc=table.desc_left_ref,
+        bit_prob=lm.bit_prob_u8(table),
     )
 
 

@@ -26,6 +26,7 @@ import numpy as np
 from svi_mapper_tpu.config import DEFAULT_PARAMS, TrackingParams
 from svi_mapper_tpu.geometry.camera import StereoCamera
 from svi_mapper_tpu.mapping import closure as closure_mod
+from svi_mapper_tpu.mapping import landmarks as lm_mod
 from svi_mapper_tpu.models import frame as frame_mod
 from svi_mapper_tpu.models.tracker import StereoTracker
 from svi_mapper_tpu.solvers import ba as ba_mod
@@ -256,43 +257,54 @@ class SLAMSystem(StereoTracker):
             if kf_mask[i]:
                 self._spawn_keyframe(out)
         if kf_mask.any():
-            sn = jax.device_get(snaps)
+            # gather ONLY the keyframe rows on device before the transfer:
+            # the snapshot stack is [chunk, L, ...] (the bit-probability
+            # plane alone is L x 256 bytes/frame) and keyframes are sparse
+            kf_rows = np.nonzero(kf_mask)[0]
+            sel = jnp.asarray(kf_rows, jnp.int32)
+            sn = jax.device_get(jax.tree_util.tree_map(
+                lambda x: jnp.take(x, sel, axis=0), snaps))
+            row_of = {int(r): j for j, r in enumerate(kf_rows)}
             if self._bk_pool is not None:
                 # overlapped mode: queue raw snapshots (tagged with the
                 # current fold version) for the back-end worker; the
                 # worker transforms them into its own gauge
                 for i in np.nonzero(kf_mask)[0]:
                     i = int(i)
+                    j = row_of[i]
                     self._note_keyframe_pose(T_all[i])
                     self._queue_keyframe_event(dict(
                         frame_idx=base + i,
                         T_wc=T_all[i].astype(np.float32),
-                        uid=sn.uid[i], active=sn.active[i],
-                        optimal=sn.optimal[i], tracked=sn.tracked[i],
-                        uv_left=sn.uv_left[i],
-                        disparity=sn.disparity[i],
-                        pos_w=sn.pos_w[i], desc=sn.desc[i],
+                        uid=sn.uid[j], active=sn.active[j],
+                        optimal=sn.optimal[j], tracked=sn.tracked[j],
+                        uv_left=sn.uv_left[j],
+                        disparity=sn.disparity[j],
+                        pos_w=sn.pos_w[j], desc=sn.desc[j],
                         instability=int(stacked.instability[i]),
+                        bit_prob=sn.bit_prob[j],
                     ))
             else:
                 self._corr_P = np.eye(4, dtype=np.float64)
                 self._corr_M = np.eye(4, dtype=np.float64)
                 for i in np.nonzero(kf_mask)[0]:
                     i = int(i)
+                    j = row_of[i]
                     # apply the corrections accumulated from earlier
                     # keyframes of this chunk to the raw snapshot
                     T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
                     P = self._corr_P
-                    pos_w = sn.pos_w[i] @ P[:3, :3].T + P[:3, 3]
+                    pos_w = sn.pos_w[j] @ P[:3, :3].T + P[:3, 3]
                     self._note_keyframe_pose(T_kf)
                     self._handle_keyframe(
                         frame_idx=base + i,
                         T_wc=T_kf.astype(np.float32),
-                        uid=sn.uid[i], active=sn.active[i],
-                        optimal=sn.optimal[i], tracked=sn.tracked[i],
-                        uv_left=sn.uv_left[i], disparity=sn.disparity[i],
-                        pos_w=pos_w.astype(np.float32), desc=sn.desc[i],
+                        uid=sn.uid[j], active=sn.active[j],
+                        optimal=sn.optimal[j], tracked=sn.tracked[j],
+                        uv_left=sn.uv_left[j], disparity=sn.disparity[j],
+                        pos_w=pos_w.astype(np.float32), desc=sn.desc[j],
                         instability=int(stacked.instability[i]),
+                        bit_prob=sn.bit_prob[j],
                     )
                     # anchor the recorded trajectory at the corrected pose
                     self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
@@ -308,10 +320,10 @@ class SLAMSystem(StereoTracker):
     def _on_keyframe(self, out) -> None:
         t = self.state.table
         (T_wc, uid, active, optimal, failed, uv_left, disparity, pos_w, desc,
-         inst) = jax.device_get(
+         inst, bit_prob) = jax.device_get(
             (self.state.T_wc, t.uid, t.active, t.is_optimal, t.failed,
              t.uv_left_last, t.disparity_last, t.pos_w, t.desc_left_ref,
-             self.state.instability))
+             self.state.instability, lm_mod.bit_prob_u8(t)))
         payload = dict(
             frame_idx=self.frame_count - 1,
             T_wc=T_wc,
@@ -324,6 +336,7 @@ class SLAMSystem(StereoTracker):
             pos_w=pos_w,
             desc=desc,
             instability=int(inst),
+            bit_prob=bit_prob,
         )
         if self._bk_pool is not None:
             self._queue_keyframe_event(payload)
@@ -501,6 +514,7 @@ class SLAMSystem(StereoTracker):
         active: np.ndarray, optimal: np.ndarray, tracked: np.ndarray,
         uv_left: np.ndarray, disparity: np.ndarray, pos_w: np.ndarray,
         desc: np.ndarray, instability: int = 0,
+        bit_prob: np.ndarray | None = None,
     ) -> None:
         """Keyframe event on explicit arrays (live table in per-frame mode,
         scan snapshots in chunk mode): record, DB add, closure search,
@@ -526,7 +540,8 @@ class SLAMSystem(StereoTracker):
         pool_sel = active & optimal
         R, tt = T_wc[:3, :3], T_wc[:3, 3]
         p_cam = pos_w[pool_sel] @ R.T + tt
-        self.db.add(desc[pool_sel], p_cam, T_wc)
+        self.db.add(desc[pool_sel], p_cam, T_wc,
+                    prob=None if bit_prob is None else bit_prob[pool_sel])
 
         if self.enable_loop_closure:
             self._detect_closures(kf)
@@ -554,6 +569,8 @@ class SLAMSystem(StereoTracker):
             min_matches=self.params.closure_min_matches,
             min_relative=self.params.closure_min_relative_matches,
             hamming_cutoff=self.params.closure_hamming_cutoff,
+            probabilistic=self.params.closure_probabilistic,
+            prob_cutoff=self.params.closure_prob_cutoff,
             icp_kwargs=dict(
                 inlier_m2=self.params.closure_icp_inlier_m,
                 min_inliers=self.params.closure_icp_min_inliers,
