@@ -238,6 +238,17 @@ class TrackingParams:
     recovery_max_detections: int = 1024
     recovery_cell: int = 4
 
+    # --- descriptor history (ref CLandmark.h:46-55 keeps the full
+    #     per-landmark descriptor history; the tracking gate draws its
+    #     "original" anchor from it, CFundamentalMatcher.cpp:2336-2397).
+    #     Bounded here to a fixed snapshot ring: a new snapshot every
+    #     ``desc_history_every``-th measurement, ``desc_history_slots``
+    #     deep; the acceptance anchor is the history entry nearest the
+    #     current appearance (mapping.landmarks.anchor_descriptors). ---
+    use_desc_history: bool = True
+    desc_history_slots: int = 4
+    desc_history_every: int = 8
+
 
 DEFAULT_PARAMS = TrackingParams()
 

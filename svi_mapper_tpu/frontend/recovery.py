@@ -58,7 +58,7 @@ class RecoveryResult:
 @functools.partial(
     jax.jit,
     static_argnames=("cutoff", "cutoff_stereo", "max_detections",
-                     "detect_cell", "detect_quality"),
+                     "detect_cell", "detect_quality", "use_desc_history"),
 )
 def regional_recovery(
     dense_left: jax.Array,      # [H, W, 8] dense BRIEF of current LEFT
@@ -75,10 +75,9 @@ def regional_recovery(
     max_detections: int = 1024,
     detect_cell: int = 4,
     detect_quality: float = 0.01,
+    use_desc_history: bool = True,
 ) -> RecoveryResult:
     """Recover un-tracked landmarks from freshly detected corners."""
-    from svi_mapper_tpu.frontend.stereo import match_stereo
-
     L = table.capacity
     dt = table.pos_w.dtype
 
@@ -94,6 +93,43 @@ def regional_recovery(
         jnp.nan_to_num(uv_pred, nan=0.0, posinf=0.0, neginf=0.0))
     scale = jnp.round(pw + jnp.asarray(ms, dt))             # [L, 2]
     half = scale * SEARCH_BLOCK_PX                          # (hw, hh)
+
+    n_need = jnp.sum(need.astype(jnp.int32))
+
+    # The whole detect-describe-match-triangulate body runs under a
+    # ``lax.cond`` on any landmark actually needing recovery: the reference
+    # only runs stage 2 for MISSED landmarks (CFundamentalMatcher.cpp:495),
+    # and on frames where the window pass tracked everything the full-image
+    # corner pass is pure waste (VERDICT r2 Weak-4).
+    def _skip(_):
+        return RecoveryResult(
+            recovered=jnp.zeros((L,), jnp.bool_),
+            uv4=jnp.zeros((L, 4), dt),
+            desc_left=jnp.zeros_like(table.desc_left_last),
+            n_candidates=jnp.int32(0),
+        )
+
+    def _run(_):
+        return _recover(
+            dense_left, dense_right, img_left, table, need, half, uv_pred,
+            cam, cutoff=cutoff, cutoff_stereo=cutoff_stereo,
+            max_detections=max_detections, detect_cell=detect_cell,
+            detect_quality=detect_quality, use_desc_history=use_desc_history,
+            n_need=n_need,
+        )
+
+    return jax.lax.cond(n_need > 0, _run, _skip, None)
+
+
+def _recover(
+    dense_left, dense_right, img_left, table, need, half, uv_pred, cam, *,
+    cutoff, cutoff_stereo, max_detections, detect_cell, detect_quality,
+    use_desc_history, n_need,
+) -> RecoveryResult:
+    from svi_mapper_tpu.frontend.stereo import match_stereo
+
+    L = table.capacity
+    dt = table.pos_w.dtype
 
     # --- one full-image detection (the reference's per-region GFTT) -------
     # A finer NMS cell than new-landmark detection: recovery needs the
@@ -117,8 +153,14 @@ def regional_recovery(
 
     # --- [L, K] masked Hamming acceptance (MXU bit-matmul: the naive
     #     XOR+popcount would materialize [L, K, 8]) ------------------------
+    from svi_mapper_tpu.mapping.landmarks import anchor_descriptors
+
+    # same dual gate as the window pass: last descriptor + history anchor
+    # (drift-tolerant "original", see mapping.landmarks.anchor_descriptors)
+    desc_anchor = (anchor_descriptors(table) if use_desc_history
+                   else table.desc_left_ref)
     d_last = hamming_mxu(table.desc_left_last, desc_det)    # [L, K]
-    d_ref = hamming_mxu(table.desc_left_ref, desc_det)
+    d_ref = hamming_mxu(desc_anchor, desc_det)
 
     du = uv_det[None, :, 0] - uv_pred[:, None, 0]           # [L, K]
     dv = uv_det[None, :, 1] - uv_pred[:, None, 1]
@@ -159,5 +201,5 @@ def regional_recovery(
         recovered=recovered,
         uv4=uv4,
         desc_left=desc_l,
-        n_candidates=jnp.sum(need.astype(jnp.int32)),
+        n_candidates=n_need,
     )

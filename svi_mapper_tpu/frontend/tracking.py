@@ -182,7 +182,7 @@ def window_scores(
     jax.jit,
     static_argnames=(
         "cutoff_s1", "cutoff_s2", "cutoff_ref", "cutoff_stereo",
-        "max_disparity", "use_epipolar",
+        "max_disparity", "use_epipolar", "use_desc_history",
     ),
 )
 def track_landmarks(
@@ -201,9 +201,19 @@ def track_landmarks(
                                 # cutoff 100 (ref CTriangulator.cpp:13)
     max_disparity: int = 128,
     use_epipolar: bool = True,  # False = legacy fixed horizontal band
+    use_desc_history: bool = True,  # anchor the ref gate on the history ring
 ) -> TrackResult:
     """Track every active landmark into the current stereo frame."""
     from svi_mapper_tpu.frontend.stereo import match_stereo
+    from svi_mapper_tpu.mapping.landmarks import anchor_descriptors
+
+    # The "original"-descriptor side of the dual gate: either the creation
+    # descriptor (plain reference rule) or the nearest history-ring
+    # snapshot (drift-tolerant anchor, see mapping.landmarks). Resolved
+    # per landmark BEFORE scoring, so both the Pallas kernel and the XLA
+    # window pass consume one [L, 8] anchor and stay bit-identical.
+    desc_anchor = (anchor_descriptors(table) if use_desc_history
+                   else table.desc_left_ref)
 
     L = table.capacity
     pos_w = table.pos_w
@@ -231,13 +241,13 @@ def track_landmarks(
         from svi_mapper_tpu.ops.track_kernel import track_scores
 
         best_score, x, y, best_dist = track_scores(
-            dense_left, uv_pred, table.desc_left_last, table.desc_left_ref,
+            dense_left, uv_pred, table.desc_left_last, desc_anchor,
             band,
             cutoff_s1=cutoff_s1, cutoff_s2=cutoff_s2, cutoff_ref=cutoff_ref,
         )
     else:
         best_score, x, y, best_dist = window_scores(
-            dense_left, uv_pred, table.desc_left_last, table.desc_left_ref,
+            dense_left, uv_pred, table.desc_left_last, desc_anchor,
             band,
             cutoff_s1=cutoff_s1, cutoff_s2=cutoff_s2, cutoff_ref=cutoff_ref,
         )

@@ -250,9 +250,12 @@ def load_checkpoint(path: str | Path):
 
     # device state
     table = tracker.state.table
+    # fields absent from an older checkpoint keep their freshly-allocated
+    # value (e.g. the descriptor-history ring added after round 2)
     table = table.replace(**{
         f.name: jnp.asarray(arrays[f"table__{f.name}"])
         for f in dataclasses.fields(table)
+        if f"table__{f.name}" in arrays
     })
     tracker.state = tracker.state.replace(
         table=table,

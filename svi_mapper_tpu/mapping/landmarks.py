@@ -56,6 +56,16 @@ class LandmarkTable:
     desc_right_ref: jax.Array  # [L, 8] uint32
     desc_left_last: jax.Array  # [L, 8] uint32 — most recent left descriptor
 
+    # --- descriptor history ring (ref CLandmark keeps the FULL per-landmark
+    #     descriptor history, CLandmark.h:46-55 vecDescriptorsLEFT; the
+    #     tracking gate draws its "original" anchor from it,
+    #     CFundamentalMatcher.cpp:2336-2397). A fixed ring of periodic
+    #     snapshots bounds that history to a static shape; slots start as
+    #     copies of the creation descriptor so the anchor choice degrades
+    #     to the plain reference gate until real snapshots accumulate. ---
+    desc_hist: jax.Array       # [L, R, 8] uint32 — snapshot ring
+    hist_next: jax.Array       # [L] int32 — next ring slot
+
     # --- per-bit descriptor statistics (ref CBitStatistics Types.h:83,
     #     accumulated in CLandmark::addMeasurement CLandmark.cpp:96-124):
     #     bit_sum / meas_count = bit probability, bit_stable / (count-1) =
@@ -82,9 +92,11 @@ class LandmarkTable:
         return jnp.sum(self.active)
 
 
-def make_table(capacity: int, max_measurements: int, dtype=jnp.float32) -> LandmarkTable:
+def make_table(capacity: int, max_measurements: int, dtype=jnp.float32,
+               history_slots: int = 4) -> LandmarkTable:
     """Allocate an empty landmark table."""
     L, M = capacity, max_measurements
+    R = history_slots
     u32 = jnp.uint32
     return LandmarkTable(
         active=jnp.zeros((L,), jnp.bool_),
@@ -101,6 +113,8 @@ def make_table(capacity: int, max_measurements: int, dtype=jnp.float32) -> Landm
         desc_left_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
         desc_right_ref=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
         desc_left_last=jnp.zeros((L, DESCRIPTOR_WORDS), u32),
+        desc_hist=jnp.zeros((L, R, DESCRIPTOR_WORDS), u32),
+        hist_next=jnp.zeros((L,), jnp.int32),
         bit_sum=jnp.zeros((L, DESCRIPTOR_BITS), dtype),
         bit_stable=jnp.zeros((L, DESCRIPTOR_BITS), dtype),
         meas_uv=jnp.zeros((L, M, 4), dtype),
@@ -172,6 +186,12 @@ def insert_landmarks(
         desc_left_ref=scat(table.desc_left_ref, desc_left),
         desc_right_ref=scat(table.desc_right_ref, desc_right),
         desc_left_last=scat(table.desc_left_last, desc_left),
+        desc_hist=scat(
+            table.desc_hist,
+            jnp.broadcast_to(desc_left[:, None, :],
+                             (n, table.desc_hist.shape[1], desc_left.shape[1])),
+        ),
+        hist_next=scat(table.hist_next, jnp.zeros((n,), jnp.int32)),
         bit_sum=scat(table.bit_sum,
                      unpack_bits(desc_left).astype(table.bit_sum.dtype)),
         bit_stable=scat(table.bit_stable,
@@ -191,6 +211,7 @@ def add_measurements(
     uv4: jax.Array,            # [L, 4] stereo measurement
     desc_left: jax.Array,      # [L, 8] uint32 — newly observed descriptor
     T_wc: jax.Array,           # [4, 4]
+    hist_every: int = 8,       # snapshot cadence into the descriptor ring
 ) -> LandmarkTable:
     """Append a stereo measurement per tracked landmark (batched
     ``CLandmark::addMeasurement``, CLandmark.cpp:80): ring-buffer write,
@@ -214,7 +235,18 @@ def add_measurements(
     bits_new = unpack_bits(desc_left).astype(table.bit_sum.dtype)
     bits_prev = unpack_bits(table.desc_left_last).astype(table.bit_sum.dtype)
     agree = 1.0 - jnp.abs(bits_new - bits_prev)
+    # descriptor-history ring push: every hist_every-th measurement
+    # snapshots the CURRENT appearance (the bounded analog of the
+    # reference's per-measurement history append, CLandmark.cpp:80)
+    R = table.desc_hist.shape[1]
+    push = tracked & (((table.meas_count + 1) % hist_every) == 0)
+    hslot = table.hist_next
+    desc_hist = table.desc_hist.at[rows, hslot].set(
+        jnp.where(push[:, None], desc_left, table.desc_hist[rows, hslot])
+    )
     return table.replace(
+        desc_hist=desc_hist,
+        hist_next=jnp.where(push, (hslot + 1) % R, hslot),
         bit_sum=jnp.where(tracked[:, None], table.bit_sum + bits_new,
                           table.bit_sum),
         bit_stable=jnp.where(tracked[:, None], table.bit_stable + agree,
@@ -248,6 +280,33 @@ def measurement_mask(table: LandmarkTable) -> jax.Array:
     M = table.max_measurements
     counts = jnp.minimum(table.meas_count, M)
     return jnp.arange(M)[None, :] < counts[:, None]
+
+
+def anchor_descriptors(table: LandmarkTable) -> jax.Array:
+    """[L, 8] — per-landmark acceptance anchor drawn from the descriptor
+    history: the candidate among {creation reference, ring snapshots}
+    nearest in Hamming distance to the landmark's CURRENT appearance
+    (``desc_left_last``).
+
+    This is the bounded analog of the reference drawing its "original"
+    gate descriptor from the landmark's descriptor history
+    (CLandmark.h:46-55, CFundamentalMatcher.cpp:2336-2397): under slow
+    appearance drift the anchor follows a genuine historical appearance
+    instead of the stale creation descriptor, so the dual-descriptor gate
+    keeps tracks the reference would keep — while still rejecting matches
+    that resemble NO appearance the landmark ever had. With an empty ring
+    (all slots = creation descriptor) this returns ``desc_left_ref``
+    exactly, reproducing the plain reference gate.
+    """
+    cands = jnp.concatenate(
+        [table.desc_left_ref[:, None, :], table.desc_hist], axis=1
+    )                                                       # [L, R+1, 8]
+    d = jnp.sum(
+        jax.lax.population_count(cands ^ table.desc_left_last[:, None, :]),
+        axis=-1,
+    ).astype(jnp.int32)                                     # [L, R+1]
+    best = jnp.argmin(d, axis=1)
+    return jnp.take_along_axis(cands, best[:, None, None], axis=1)[:, 0]
 
 
 def bit_prob_u8(table: LandmarkTable) -> jax.Array:

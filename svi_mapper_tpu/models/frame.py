@@ -106,7 +106,8 @@ def init_state(params: TrackingParams, T0: jax.Array | None = None) -> FrameStat
         T_wc=eye,
         T_wc_prev=eye,
         T_last_keyframe=eye,
-        table=lm.make_table(params.max_landmarks, params.max_measurements),
+        table=lm.make_table(params.max_landmarks, params.max_measurements,
+                            history_slots=params.desc_history_slots),
         next_uid=jnp.int32(0),
         frame_idx=jnp.int32(0),
         instability=jnp.int32(0),
@@ -188,6 +189,7 @@ def process_frame(
             cutoff_s2=params.matching_distance_tracking_stage2,
             cutoff_ref=params.matching_distance_epipolar,
             cutoff_stereo=params.matching_distance_triangulation,
+            use_desc_history=params.use_desc_history,
         )
         rs = solve_stereo_posit(
             T_p, state.table.pos_w, tr.uv4, tr.tracked, cam,
@@ -209,6 +211,7 @@ def process_frame(
             cutoff_s2=params.matching_distance_tracking_stage2,
             cutoff_ref=params.matching_distance_epipolar,
             cutoff_stereo=params.matching_distance_triangulation,
+            use_desc_history=params.use_desc_history,
         )
         T_new = T_gt
         posit_ok = jnp.asarray(False)
@@ -255,6 +258,7 @@ def process_frame(
             cutoff_stereo=params.matching_distance_triangulation,
             max_detections=params.recovery_max_detections,
             detect_cell=params.recovery_cell,
+            use_desc_history=params.use_desc_history,
         )
         tracked_all = track.tracked | rec.recovered
         uv4_all = jnp.where(track.tracked[:, None], track.uv4, rec.uv4)
@@ -268,7 +272,8 @@ def process_frame(
 
     # --- measurements ----------------------------------------------------
     table = lm.add_measurements(
-        state.table, tracked_all, uv4_all, desc_all, T_new
+        state.table, tracked_all, uv4_all, desc_all, T_new,
+        hist_every=params.desc_history_every,
     )
 
     # --- landmark refinement (cond: GT every frame, SV every 10 frames —
