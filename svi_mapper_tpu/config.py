@@ -215,6 +215,11 @@ class TrackingParams:
     # (CTrackerGT.cpp:479); our pools are the currently-OPTIMAL landmark
     # subset, so the same fraction is stricter — 0.25 matches the intent
     closure_min_relative_matches: float = 0.25
+    # metric candidate gate (ref m_dLoopClosingRadiusSquaredMetersL2 = 25,
+    # CTrackerSV.h:89): closure candidates must lie within 5 m of the
+    # query's current pose estimate — the precision defense against
+    # perceptual aliasing (distinct places with identical appearance)
+    closure_search_radius_m2: float = 25.0
     closure_icp_inlier_m: float = 1.0
     closure_icp_min_inliers: int = 25
     closure_icp_max_error: float = 0.9
@@ -228,6 +233,24 @@ class TrackingParams:
     # per-snapshot descriptors past the exact cutoff between revisits.
     closure_probabilistic: bool = True
     closure_prob_cutoff: float = 50.0
+    # loop-closure pose-graph edges damp their translation-z information
+    # x100 (ref _getInformationNoZ, Cg2oOptimizer.cpp:1542-1550): the ICP
+    # transform's depth component along the optical axis is its noisy
+    # direction and must not pull as hard as x/y
+    closure_z_info_damping: float = 0.01
+
+    # --- depth-dependent measurement information (ref depth-tiered edges,
+    #     Cg2oOptimizer.cpp:1383-1466: every tier carries the common factor
+    #     dInformationFactor = 1/z — "the closer the more reliable" — and
+    #     far landmarks need > 1 px of disparity to contribute at all,
+    #     :1444-1447). Our BA residual is uniformly pixel-space, so the
+    #     tier-specific unit constants (1000 m^-2 / x100 depth / x1000
+    #     disparity) don't transfer; the 1/z information factor and the
+    #     far-disparity floor do. Weights are mean-normalized over the
+    #     window so the robust kernel's px^2 scale stays calibrated. ---
+    ba_depth_weighting: bool = True
+    ba_far_depth2_m2: float = 50.0      # beyond this squared range ...
+    ba_min_far_disparity_px: float = 1.0  # ... require > 1 px disparity
 
     # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
     motion_scaling_cap: float = 5.0
@@ -238,14 +261,20 @@ class TrackingParams:
     recovery_max_detections: int = 1024
     recovery_cell: int = 4
 
-    # --- descriptor history (ref CLandmark.h:46-55 keeps the full
-    #     per-landmark descriptor history; the tracking gate draws its
-    #     "original" anchor from it, CFundamentalMatcher.cpp:2336-2397).
-    #     Bounded here to a fixed snapshot ring: a new snapshot every
-    #     ``desc_history_every``-th measurement, ``desc_history_slots``
-    #     deep; the acceptance anchor is the history entry nearest the
-    #     current appearance (mapping.landmarks.anchor_descriptors). ---
-    use_desc_history: bool = True
+    # --- descriptor history ring (ref CLandmark.h:46-55 keeps the full
+    #     per-landmark descriptor history, vecDescriptorsLEFT — feeding
+    #     cloud matching and bit statistics; the tracking gate itself uses
+    #     the FIXED creation descriptor: callers pass
+    #     matDescriptorReferenceLEFT as p_matDescriptorOriginal,
+    #     CFundamentalMatcher.cpp:986,991). The ring is kept for bit
+    #     statistics/closure pools; ``use_desc_history=True`` additionally
+    #     anchors the tracking gate on the ring entry nearest the current
+    #     appearance — a DELIBERATE relaxation of the reference's fixed
+    #     anchor that gains ~4% tracked measurements under photometric
+    #     drift but lets appearance drift accumulate unboundedly (the
+    #     anchor follows the track): measured raw-VO loop ATE regresses
+    #     0.146 -> 0.334 m (r4 bisect). Default OFF = reference gate. ---
+    use_desc_history: bool = False
     desc_history_slots: int = 4
     desc_history_every: int = 8
 

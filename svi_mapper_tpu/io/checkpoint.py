@@ -257,6 +257,18 @@ def load_checkpoint(path: str | Path):
         for f in dataclasses.fields(table)
         if f"table__{f.name}" in arrays
     })
+    if "table__desc_hist" not in arrays and "table__desc_left_ref" in arrays:
+        # pre-ring checkpoint: the ring invariant is "slots hold genuine
+        # past appearances, starting as copies of the creation descriptor"
+        # (mapping.landmarks). A zero-filled allocation would make the
+        # all-zero vector compete in the anchor argmin (dark uniform
+        # patches would pass the gate) — broadcast the creation
+        # descriptor into every slot instead.
+        ring = jnp.broadcast_to(
+            table.desc_left_ref[:, None, :], table.desc_hist.shape)
+        table = table.replace(
+            desc_hist=jnp.asarray(ring),
+            hist_next=jnp.zeros_like(table.hist_next))
     tracker.state = tracker.state.replace(
         table=table,
         **{f: jnp.asarray(arrays[f"state__{f}"]) for f in _STATE_FIELDS},

@@ -133,29 +133,39 @@ def raycast(
     return o, dir_w, best_t
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "alias_period"))
 def render_view(
     T_wc: jax.Array, fx: jax.Array, cx: jax.Array, cy: jax.Array,
     baseline_shift: jax.Array, width: int, height: int,
+    alias_period: float = 0.0,
 ) -> jax.Array:
     """Render one camera view of the plane world.
 
     ``baseline_shift`` is the camera-center x-offset in the LEFT camera frame
-    (0 for left, +baseline for right).
+    (0 for left, +baseline for right). With ``alias_period > 0`` the texture
+    is evaluated on the world-z coordinate folded modulo the period: the
+    corridor repeats the SAME visual motif every ``alias_period`` meters —
+    geographically distinct places that look identical, the perceptual-
+    aliasing attack a loop-closure pipeline's precision gates must survive.
     """
     o, dir_w, best_t = raycast(T_wc, fx, cx, cy, baseline_shift, width, height)
     hit_w = o[None, None, :] + best_t[..., None] * dir_w
+    if alias_period > 0.0:
+        hit_w = hit_w.at[..., 2].set(jnp.mod(hit_w[..., 2], alias_period))
     img = _texture(hit_w)
     return jnp.where(jnp.isfinite(best_t), img, 0.0)
 
 
-def render_stereo(cam: StereoCamera, T_wc: jax.Array) -> tuple[jax.Array, jax.Array]:
+def render_stereo(cam: StereoCamera, T_wc: jax.Array,
+                  alias_period: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Render the (left, right) pair for a world->LEFT-camera pose."""
     fx = cam.left.fx
     imgL = render_view(T_wc, fx, cam.left.cx, cam.left.cy,
-                       jnp.asarray(0.0, jnp.float32), cam.width, cam.height)
+                       jnp.asarray(0.0, jnp.float32), cam.width, cam.height,
+                       alias_period)
     imgR = render_view(T_wc, fx, cam.right.cx, cam.right.cy,
-                       cam.baseline.astype(jnp.float32), cam.width, cam.height)
+                       cam.baseline.astype(jnp.float32), cam.width, cam.height,
+                       alias_period)
     return imgL, imgR
 
 
@@ -200,7 +210,8 @@ class SyntheticSequence:
 
     def __init__(self, n_frames: int = 40, width: int = 512, height: int = 256,
                  step: float = 0.8, yaw_amp: float = 0.003,
-                 trajectory: str = "corridor", loop_radius: float = 5.0):
+                 trajectory: str = "corridor", loop_radius: float = 5.0,
+                 alias_period: float = 0.0):
         self.cam = default_camera(width, height)
         if trajectory == "corridor":
             self.poses_wc = corridor_trajectory(n_frames, step, yaw_amp)
@@ -210,10 +221,11 @@ class SyntheticSequence:
         else:
             raise ValueError(f"unknown trajectory {trajectory!r}")
         self.n_frames = n_frames
+        self.alias_period = alias_period
 
     def frame(self, i: int) -> tuple[jax.Array, jax.Array, np.ndarray]:
         T = jnp.asarray(self.poses_wc[i])
-        imgL, imgR = render_stereo(self.cam, T)
+        imgL, imgR = render_stereo(self.cam, T, self.alias_period)
         return imgL, imgR, self.poses_wc[i]
 
     def __iter__(self):

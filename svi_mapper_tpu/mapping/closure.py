@@ -502,6 +502,14 @@ def find_closures(
     icp_kwargs: dict | None = None,
     probabilistic: bool = True,
     prob_cutoff: float = 50.0,       # ref CKeyFrame.h:13
+    search_radius_m2: float = 25.0,  # ref m_dLoopClosingRadiusSquaredMetersL2
+                                     # (CTrackerSV.h:89): candidates must lie
+                                     # within this squared metric distance of
+                                     # the query's CURRENT pose estimate —
+                                     # the defense against perceptual
+                                     # aliasing (distinct places that look
+                                     # identical can never become candidates
+                                     # while drift stays bounded). inf = off.
 ) -> list[ClosureCandidate]:
     """Find validated loop closures of keyframe ``query_kf`` against all
     earlier keyframes (the _getLoopClosuresForKeyFrame pipeline,
@@ -561,6 +569,17 @@ def find_closures(
     # only earlier, temporally non-adjacent keyframes are eligible
     lo = max(0, query_kf - exclude_recent)
     scores[lo:] = 0
+    # metric search-radius gate (ref CTrackerSV.h:89, radius check
+    # CTrackerSV.cpp:980): camera centers of candidate and query must be
+    # within sqrt(search_radius_m2) under the CURRENT (post-correction)
+    # pose estimates
+    T_wc_np = np.asarray(db.T_wc)
+    if np.isfinite(search_radius_m2):
+        R_all = T_wc_np[: query_kf + 1, :3, :3]
+        t_all = T_wc_np[: query_kf + 1, :3, 3]
+        centers = -np.einsum("kji,kj->ki", R_all, t_all)
+        d2 = np.sum((centers[:-1] - centers[-1]) ** 2, axis=-1)
+        scores[: query_kf][d2 > search_radius_m2] = 0
     # relative-match gate (ref :479) + absolute floor. In probabilistic
     # mode only the absolute floor applies here; the relative gate is
     # enforced on the probabilistic match count after the match stage.
@@ -578,7 +597,6 @@ def find_closures(
     n_cand = len(cand_idx)
     cand_pad = np.asarray(
         (cand_idx + [cand_idx[0]] * C)[:C], np.int32)
-    T_wc_np = np.asarray(db.T_wc)
     T_init = (T_wc_np[query_kf][None]
               @ np.linalg.inv(T_wc_np[cand_pad].astype(np.float64))
               ).astype(np.float32)

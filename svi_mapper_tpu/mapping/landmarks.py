@@ -57,12 +57,13 @@ class LandmarkTable:
     desc_left_last: jax.Array  # [L, 8] uint32 — most recent left descriptor
 
     # --- descriptor history ring (ref CLandmark keeps the FULL per-landmark
-    #     descriptor history, CLandmark.h:46-55 vecDescriptorsLEFT; the
-    #     tracking gate draws its "original" anchor from it,
-    #     CFundamentalMatcher.cpp:2336-2397). A fixed ring of periodic
-    #     snapshots bounds that history to a static shape; slots start as
-    #     copies of the creation descriptor so the anchor choice degrades
-    #     to the plain reference gate until real snapshots accumulate. ---
+    #     descriptor history, CLandmark.h:46-55 vecDescriptorsLEFT, which
+    #     feeds cloud matching and bit statistics — the tracking gate uses
+    #     the fixed creation descriptor, CFundamentalMatcher.cpp:986,991).
+    #     A fixed ring of periodic snapshots bounds that history to a
+    #     static shape; slots start as copies of the creation descriptor.
+    #     Gating on the ring (anchor_descriptors) is an OPT-IN deviation,
+    #     see config.use_desc_history. ---
     desc_hist: jax.Array       # [L, R, 8] uint32 — snapshot ring
     hist_next: jax.Array       # [L] int32 — next ring slot
 
@@ -288,15 +289,20 @@ def anchor_descriptors(table: LandmarkTable) -> jax.Array:
     nearest in Hamming distance to the landmark's CURRENT appearance
     (``desc_left_last``).
 
-    This is the bounded analog of the reference drawing its "original"
-    gate descriptor from the landmark's descriptor history
-    (CLandmark.h:46-55, CFundamentalMatcher.cpp:2336-2397): under slow
-    appearance drift the anchor follows a genuine historical appearance
-    instead of the stale creation descriptor, so the dual-descriptor gate
-    keeps tracks the reference would keep — while still rejecting matches
-    that resemble NO appearance the landmark ever had. With an empty ring
-    (all slots = creation descriptor) this returns ``desc_left_ref``
-    exactly, reproducing the plain reference gate.
+    NOTE: this is a DELIBERATE deviation from the reference, which gates
+    on the fixed creation descriptor (callers pass
+    matDescriptorReferenceLEFT as p_matDescriptorOriginal,
+    CFundamentalMatcher.cpp:986,991 — the per-landmark history
+    vecDescriptorsLEFT feeds cloud matching and bit statistics, not the
+    gate). Selecting the anchor nearest the CURRENT appearance makes the
+    "original" gate nearly redundant with the last-descriptor gate once
+    snapshots accumulate, so cumulative appearance drift is unbounded —
+    measured raw-VO loop ATE regresses 0.146 -> 0.334 m with this anchor
+    live (r4 bisect). It is therefore OFF by default
+    (config.use_desc_history) and kept as an opt-in for short
+    photometric-stress runs where track longevity matters more than
+    long-horizon drift. With an empty ring (all slots = creation
+    descriptor) this returns ``desc_left_ref`` exactly.
     """
     cands = jnp.concatenate(
         [table.desc_left_ref[:, None, :], table.desc_hist], axis=1

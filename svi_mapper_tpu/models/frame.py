@@ -429,6 +429,10 @@ def process_chunk(
     return state, ys
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "landmark_opt_every", "equalize"),
+)
 def process_chunk_svi(
     state: FrameState,
     imgs_left: jax.Array,       # [N, H, W] float32 — RAW frames (pre-

@@ -146,6 +146,13 @@ def bundle_adjust(
                                          # EdgeSE3LinearAcceleration,
                                          # Cg2oOptimizer.cpp:982-997)
     grav_w: jax.Array | None = None,     # [K] gravity weights (0 disables)
+    obs_w: jax.Array | None = None,      # [K,L] per-observation information
+                                         # scale (depth-tiered weighting, ref
+                                         # dInformationFactor = 1/z,
+                                         # Cg2oOptimizer.cpp:1403-1466);
+                                         # multiplies into the mask/robust
+                                         # weight on BOTH the XLA and the
+                                         # fused-kernel path
     use_schur_kernel: bool | None = None,  # fused Pallas Schur assembly
                                          # (ops.ba_kernel); None = auto: on
                                          # for float32 problems on TPU
@@ -157,6 +164,8 @@ def bundle_adjust(
     L = points_w.shape[0]
     dtype = points_w.dtype
     maskf = obs_mask.astype(dtype)
+    if obs_w is not None:
+        maskf = maskf * obs_w.astype(dtype)
 
     def robust_w(r):
         err2 = jnp.sum(r * r, axis=-1)

@@ -46,6 +46,13 @@ class PoseGraphEdges:
     T_ij: jax.Array       # [E,4,4] measured relative transform T_j @ inv(T_i)
     weight: jax.Array     # [E] information scale
     valid: jax.Array      # [E] bool
+    # optional per-component diagonal information (twist order [rho, phi]),
+    # multiplied into ``weight``: the anisotropic analog of the reference's
+    # 6x6 edge information matrices — loop-closure edges damp the
+    # translation-z component by 100 (_getInformationNoZ,
+    # Cg2oOptimizer.cpp:1542-1550, applied :1075-1133) because ICP depth
+    # along the optical axis is the noisy direction. None = isotropic.
+    info6: jax.Array | None = None   # [E,6]
 
 
 @struct.dataclass
@@ -112,6 +119,10 @@ def optimize_pose_graph(
     N = T_wc.shape[0]
     dtype = T_wc.dtype
     ew = edges.weight * edges.valid.astype(dtype)
+    # per-component diagonal information (isotropic when info6 is None)
+    i6 = (jnp.ones(edges.T_ij.shape[:1] + (6,), dtype)
+          if edges.info6 is None else edges.info6.astype(dtype))
+    w6_base = ew[:, None] * i6                                   # [E,6]
     down_w = jnp.asarray([0.0, -1.0, 0.0], dtype)  # world gravity direction
 
     def gravity_residual(T):
@@ -121,7 +132,7 @@ def optimize_pose_graph(
 
     def chi2_of(T):
         r = _edge_residuals(T, edges)
-        c = jnp.sum(ew * jnp.sum(r * r, axis=-1))
+        c = jnp.sum(w6_base * r * r)
         if gravity is not None:
             gw = gravity.weight * gravity.valid.astype(dtype)
             rg = gravity_residual(T)
@@ -134,16 +145,17 @@ def optimize_pose_graph(
         T, it, delta = carry
         r = _edge_residuals(T, edges)                            # [E,6]
         err2 = jnp.sum(r * r, axis=-1)
-        w = ew * jnp.where(err2 > robust_delta,
-                           robust_delta / jnp.maximum(err2, 1e-12), 1.0)
+        rob = jnp.where(err2 > robust_delta,
+                        robust_delta / jnp.maximum(err2, 1e-12), 1.0)
+        w6 = w6_base * rob[:, None]                              # [E,6]
         J_i = -adjoint(edges.T_ij)                               # [E,6,6]
-        # per-edge blocks
-        H_ii = jnp.einsum("eki,e,ekj->eij", J_i, w, J_i, precision=_PREC)
-        H_jj = w[:, None, None] * jnp.broadcast_to(jnp.eye(6, dtype=dtype), H_ii.shape)
-        # off-diagonal block H_ij = J_i^T W J_j with J_j = I -> J_i^T * w
-        H_ij_blk = jnp.swapaxes(J_i, -1, -2) * w[:, None, None]
-        b_i = jnp.einsum("eki,e,ek->ei", J_i, w, r, precision=_PREC)
-        b_j = jnp.einsum("e,ek->ek", w, r)
+        # per-edge blocks under the diagonal information W = diag(w6)
+        H_ii = jnp.einsum("eki,ek,ekj->eij", J_i, w6, J_i, precision=_PREC)
+        H_jj = w6[:, :, None] * jnp.broadcast_to(jnp.eye(6, dtype=dtype), H_ii.shape)
+        # off-diagonal block H_ij = J_i^T W J_j with J_j = I -> J_i^T diag(w6)
+        H_ij_blk = jnp.swapaxes(J_i, -1, -2) * w6[:, None, :]
+        b_i = jnp.einsum("eki,ek,ek->ei", J_i, w6, r, precision=_PREC)
+        b_j = w6 * r
 
         H = jnp.zeros((N, 6, N, 6), dtype)
         H = H.at[edges.i, :, edges.i, :].add(H_ii)

@@ -169,6 +169,88 @@ def test_pose_graph_invalid_edges_ignored(rng):
     assert np.abs(np.asarray(res.T_wc) - T_true).max() < 1e-3
 
 
+def test_ba_depth_weighting_beats_uniform(rng):
+    """Depth-tiered observation information (ref dInformationFactor = 1/z,
+    Cg2oOptimizer.cpp:1403-1466): on a scene where far landmarks carry the
+    realistically larger stereo-matching noise, the 1/z weighting must
+    recover poses better than uniform weighting."""
+    cam = make_cam()
+    K = 6
+    L_near, L_far = 96, 96
+    X_near = rng.uniform([-4, -2, 4], [4, 2, 10], (L_near, 3)).astype(np.float32)
+    X_far = rng.uniform([-30, -10, 50], [30, 10, 90], (L_far, 3)).astype(np.float32)
+    X_true = np.concatenate([X_near, X_far])
+    L = L_near + L_far
+    T_true = np.stack([
+        np.asarray(se3.exp_se3(jnp.asarray([0, 0, -0.5 * k, 0, 0.01 * k, 0], jnp.float32)))
+        for k in range(K)
+    ])
+    obs = np.zeros((K, L, 4), np.float32)
+    for k in range(K):
+        uv_n, _ = observe(cam, T_true[k], X_near, noise=0.3, rng=rng)
+        uv_f, _ = observe(cam, T_true[k], X_far, noise=2.5, rng=rng)
+        obs[k] = np.concatenate([uv_n, uv_f])
+    T0 = T_true.copy()
+    for k in range(1, K):
+        d = np.asarray(se3.exp_se3(jnp.asarray(rng.normal(0, 0.02, 6).astype(np.float32))))
+        T0[k] = d @ T0[k]
+    X0 = X_true + rng.normal(0, 0.2, (L, 3)).astype(np.float32)
+    fix = np.zeros(K, bool); fix[0] = True
+    # information weight from the MEASURED depth (disparity), as _run_ba does
+    bq = float(cam.right.P[0, 3])
+    disp = obs[..., 0] - obs[..., 2]
+    z = np.where(disp > 0.01, -bq / np.maximum(disp, 0.01), np.inf)
+    w = 1.0 / np.clip(z, 1.0, 1e4)
+    w = (w / w.mean()).astype(np.float32)
+    errs = {}
+    for name, obs_w in (("uniform", None), ("tiered", jnp.asarray(w))):
+        res = ba.bundle_adjust(
+            jnp.asarray(T0), jnp.asarray(X0), jnp.asarray(obs),
+            jnp.ones((K, L), bool), cam, jnp.asarray(fix), obs_w=obs_w,
+        )
+        errs[name] = max(
+            np.abs(np.asarray(res.T_wc)[k] - T_true[k]).max() for k in range(K))
+    assert errs["tiered"] < errs["uniform"], errs
+
+
+def test_pose_graph_z_damped_closure_edge(rng):
+    """Anisotropic closure information (ref _getInformationNoZ,
+    Cg2oOptimizer.cpp:1542-1550): a closure measurement with a large
+    optical-axis (z) error must not drag the trajectory when its z
+    information is damped x100."""
+    N = 30
+    T_true, T_est = _chain(rng, N, noise=0.008)
+    ei, ej, Ms, ws = [], [], [], []
+    for k in range(1, N):
+        M = (T_est[k] @ np.linalg.inv(T_est[k - 1])).astype(np.float32)
+        ei.append(k - 1); ej.append(k); Ms.append(M)
+        ws.append(float(pg.sequential_edge_weight(jnp.asarray(M))))
+    # closure with a 2 m z error in the local (camera) frame — the noisy
+    # ICP depth direction
+    M_clo = (T_true[N - 1] @ np.linalg.inv(T_true[0])).astype(np.float32)
+    z_err = np.eye(4, dtype=np.float32); z_err[2, 3] = 2.0
+    ei.append(0); ej.append(N - 1)
+    Ms.append((z_err @ M_clo).astype(np.float32)); ws.append(1.0)
+    E = len(ei)
+    fix = np.zeros(N, bool); fix[0] = True
+    errs = {}
+    for name, zdamp in (("iso", 1.0), ("damped", 0.01)):
+        info6 = np.ones((E, 6), np.float32)
+        info6[-1, 2] = zdamp
+        edges = pg.PoseGraphEdges(
+            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+            T_ij=jnp.asarray(np.stack(Ms)),
+            weight=jnp.asarray(ws, jnp.float32),
+            valid=jnp.ones(E, bool), info6=jnp.asarray(info6),
+        )
+        res = pg.optimize_pose_graph(jnp.asarray(T_est), edges, jnp.asarray(fix))
+        opt = np.asarray(res.T_wc)
+        c_opt = np.linalg.inv(opt)[:, :3, 3]
+        c_true = np.linalg.inv(T_true)[:, :3, 3]
+        errs[name] = float(np.sqrt(((c_opt - c_true) ** 2).sum(-1).mean()))
+    assert errs["damped"] < errs["iso"], errs
+
+
 def test_adjoint_identity(rng):
     """Ad(T) must satisfy T exp(xi) T^-1 = exp(Ad(T) xi)."""
     T = np.asarray(se3.exp_se3(jnp.asarray(rng.normal(0, 0.5, 6).astype(np.float32))))

@@ -36,7 +36,7 @@ def _run(seq, L, R, overlap: bool) -> SLAMSystem:
     s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=True,
                    enable_loop_closure=True, overlap_backend=overlap)
     s.process_many(L, R, chunk=16)
-    s.flush_backend()
+    s.finalize_backend()   # drain worker + the closure waiting queue
     return s
 
 

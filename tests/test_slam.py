@@ -22,6 +22,7 @@ def loop_run():
     s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=True, enable_loop_closure=True)
     for (L, R, _) in seq:
         s.process(L, R)
+    s.finalize_backend()   # drain the closure waiting queue (end of stream)
     return seq, s
 
 
@@ -61,6 +62,7 @@ def loop_run_no_ba():
     s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=False, enable_loop_closure=True)
     for (L, R, _) in seq:
         s.process(L, R)
+    s.finalize_backend()
     return seq, s
 
 

@@ -244,3 +244,54 @@ def test_loop_closure_recall_under_stress():
     assert mr.ate_rmse_m < 0.55
     # noisy ICP closures must not blow up the optimized trajectory
     assert m.ate_rmse_m < 1.6 * mr.ate_rmse_m + 0.05
+
+
+# ---------------------------------------------------------------------------
+# closure PRECISION under perceptual aliasing (VERDICT r3 Next-5)
+# ---------------------------------------------------------------------------
+
+def test_alias_period_renders_identical_places():
+    """The aliased world really is an aliasing attack: views 24 m apart
+    along the corridor are pixel-identical."""
+    seq = SyntheticSequence(n_frames=2, width=128, height=64,
+                            alias_period=24.0)
+    from svi_mapper_tpu.io.synthetic import render_stereo
+    import jax.numpy as jnp
+
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = T0.copy(); T1[2, 3] = -24.0   # camera advanced 24 m along +z
+    a = np.asarray(render_stereo(seq.cam, jnp.asarray(T0), 24.0)[0])
+    b = np.asarray(render_stereo(seq.cam, jnp.asarray(T1), 24.0)[0])
+    # identical except for the (distant) far-wall region near the
+    # vanishing point, whose distance is NOT period-folded
+    assert (np.abs(a - b) > 1.0).mean() < 0.02
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("probabilistic", [False, True],
+                         ids=["exact", "probabilistic"])
+def test_no_false_closures_in_aliased_corridor(probabilistic):
+    """A straight corridor whose texture repeats every 24 m: every place
+    has a perfect visual twin 24/48 m away, and NO true revisit exists —
+    any accepted closure is a false positive. The metric search-radius
+    gate (ref m_dLoopClosingRadiusSquaredMetersL2 = 25, CTrackerSV.h:89)
+    must hold precision at zero false closures under exact AND
+    probabilistic matching."""
+    params = dataclasses.replace(
+        DEFAULT_PARAMS, max_landmarks=512, max_detections=512,
+        keyframe_translation_m2=9.0,     # keyframe every 3 m -> dense pools
+        closure_probabilistic=probabilistic,
+    )
+    seq = SyntheticSequence(n_frames=160, width=512, height=256, step=0.4,
+                            alias_period=24.0)
+    frames = [(np.asarray(f[0]), np.asarray(f[1]), f[2]) for f in seq]
+    Ls = np.stack([f[0] for f in frames])
+    Rs = np.stack([f[1] for f in frames])
+    s = SLAMSystem(seq.cam, params, enable_local_ba=True,
+                   enable_loop_closure=True)
+    s.process_many(Ls, Rs, chunk=16)
+    s.finalize_backend()
+    assert len(s.slam_keyframes) >= 12      # pools actually accumulated
+    assert s.stats["closures_accepted"] == 0, (
+        f"false closures accepted in aliased corridor: "
+        f"{[(c.ref_kf, c.query_kf) for c in s.accepted_closures]}")
