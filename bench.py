@@ -123,13 +123,23 @@ def bench_full_slam(quick: bool) -> tuple[float, dict]:
         slam.finalize_backend()
         return slam
 
-    run(True)                    # compile warmup (all shape buckets)
-    t0 = time.perf_counter()
-    slam_o = run(True)
-    fps_overlap = n_frames / (time.perf_counter() - t0)
+    # HYGIENE (the r3 bench regression's main cause): worker threads of a
+    # finished overlap run measurably degrade every later run in the same
+    # process (measured 26.9 -> 5.5 fps sync with two idle overlap
+    # executors alive), so every system is close()d right after timing —
+    # and the sync measurement runs FIRST, from a sync warmup, because
+    # overlap runs are additionally erratic on a single chip (two threads
+    # contending for one dispatch path measured 5.6-20.8 fps across
+    # repeats vs sync's stable 31-32).
+    run(False).close()           # compile warmup (all shape buckets)
     t0 = time.perf_counter()
     slam_s = run(False)
     fps_sync = n_frames / (time.perf_counter() - t0)
+    slam_s.close()
+    t0 = time.perf_counter()
+    slam_o = run(True)
+    fps_overlap = n_frames / (time.perf_counter() - t0)
+    slam_o.close()
     slam = slam_o if fps_overlap >= fps_sync else slam_s
     return fps_sync, fps_overlap, dict(
         slam.stats, keyframes=len(slam.slam_keyframes))
@@ -151,8 +161,12 @@ def bench_svi(quick: bool) -> float:
     sub, dt = 10, 0.05
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
                             trajectory="loop", loop_radius=26.0)
-    L = np.stack([np.asarray(f[0]) for f in seq])
-    R = np.stack([np.asarray(f[1]) for f in seq])
+    # pre-stage frames on device (same as bench_full_slam): re-shipping the
+    # ~780 MB stack over the sandbox tunnel every run measures the tunnel,
+    # not the tracker (module docstring)
+    L = jnp.stack([jnp.asarray(f[0]) for f in seq])
+    R = jnp.stack([jnp.asarray(f[1]) for f in seq])
+    jax.block_until_ready((L, R))
     calib0 = imu.ImuCalibration(
         R_imu_to_world=np.eye(3), bias_gyro=np.zeros(3),
         bias_accel=np.zeros(3), noise_gyro=np.zeros(3),
@@ -174,16 +188,19 @@ def bench_svi(quick: bool) -> float:
     )
 
     def run() -> StereoInertialTracker:
-        tr = StereoInertialTracker(seq.cam, calib0, params, equalize=False,
-                                   overlap_backend=True)
+        # synchronous back-end: the overlap worker measurably degrades the
+        # tracker thread's dispatch on a single chip (see bench_full_slam)
+        tr = StereoInertialTracker(seq.cam, calib0, params, equalize=False)
         tr.process_many_imu(L, R, dts, oms, acs, chunk=16)
         tr.finalize_backend()
         return tr
 
-    run()
+    run().close()
     t0 = time.perf_counter()
-    run()
-    return n_frames / (time.perf_counter() - t0)
+    tr = run()
+    fps = n_frames / (time.perf_counter() - t0)
+    tr.close()
+    return fps
 
 
 def bench_ba(quick: bool) -> float:
@@ -262,11 +279,14 @@ def main() -> None:
     kernels = kernel_paths()
     print(f"kernel paths: {kernels}", file=sys.stderr)
 
-    slam_fps_sync, slam_fps_overlap, slam_stats = bench_full_slam(quick)
-    slam_fps = max(slam_fps_sync, slam_fps_overlap)
+    # order: the overlap A/B inside bench_full_slam is the only stage that
+    # spawns worker threads — run it LAST so its (erratic, two-thread)
+    # dispatch state cannot contaminate the other measurements
     frontend_fps = bench_frontend(quick)
     ba_ips = bench_ba(quick)
     svi_fps = bench_svi(quick)
+    slam_fps_sync, slam_fps_overlap, slam_stats = bench_full_slam(quick)
+    slam_fps = max(slam_fps_sync, slam_fps_overlap)
 
     print(
         json.dumps(

@@ -319,6 +319,7 @@ def load_checkpoint(path: str | Path):
         db.prob = (jnp.asarray(arrays["db__prob"])
                    if "db__prob" in arrays else None)
         db.count_host = [int(c) for c in arrays["db__count"][: db.n]]
+        db.T_wc_host = np.asarray(arrays["db__T_wc"], np.float32).copy()
         db.capacity = int(arrays["db__desc"].shape[0])
         if db.index is not None:
             # rebuild the native shortlist index from the stored pools

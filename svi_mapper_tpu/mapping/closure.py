@@ -78,6 +78,10 @@ class KeyframeDatabase:
     auto_vocab: bool = True      # train the BoW vocabulary in-run
     vocab_train_at: int = 8      # keyframes accumulated before training
     count_host: list = dataclasses.field(default_factory=list)  # host mirror
+    # host mirror of T_wc: the per-keyframe closure search reads poses for
+    # its metric radius gate / ICP init — a device fetch per query costs a
+    # tunnel round trip on remote accelerators
+    T_wc_host: np.ndarray | None = None  # [K,4,4]
 
     def count_of(self, k: int) -> int:
         """Pool size of keyframe k without a device read."""
@@ -121,6 +125,7 @@ class KeyframeDatabase:
             index=index,
             bow=bow,
             auto_vocab=auto_vocab,
+            T_wc_host=np.tile(np.eye(4, dtype=np.float32), (capacity, 1, 1)),
         )
 
     def _grow(self) -> None:
@@ -141,6 +146,10 @@ class KeyframeDatabase:
         if self.prob is not None:
             self.prob = jnp.concatenate(
                 [self.prob, jnp.zeros((pad, P, 256), jnp.uint8)])
+        if self.T_wc_host is not None:
+            self.T_wc_host = np.concatenate(
+                [self.T_wc_host,
+                 np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
         self.capacity *= 2
 
     def _train_vocab(self) -> None:
@@ -199,6 +208,8 @@ class KeyframeDatabase:
                 ).astype(np.uint8) * 255
             self.prob = _db_set_prob(self.prob, k, jnp.asarray(pr))
         self.count_host.append(n)
+        if self.T_wc_host is not None:
+            self.T_wc_host[k] = np.asarray(T_wc, np.float32)
         self.n = k + 1
         if self.index is not None:
             self.index.add(d[:n], k)
@@ -208,6 +219,23 @@ class KeyframeDatabase:
                 and self.n >= self.vocab_train_at:
             self._train_vocab()
         return k
+
+    def poses_host(self) -> np.ndarray:
+        """[capacity,4,4] stored keyframe poses WITHOUT a device read
+        (host mirror; falls back to a device fetch for DBs restored from
+        archives that predate the mirror)."""
+        if self.T_wc_host is None or len(self.T_wc_host) != self.capacity:
+            self.T_wc_host = np.asarray(self.T_wc, np.float32).copy()
+        return self.T_wc_host
+
+    def update_poses(self, T_new: np.ndarray) -> None:
+        """Overwrite the first ``len(T_new)`` stored poses (device array +
+        host mirror) — the pose-graph back-propagation into the closure DB
+        (ref _backPropagateTrajectoryToFull, Cg2oOptimizer.cpp:1552-1603)."""
+        n = len(T_new)
+        host = self.poses_host()
+        host[:n] = np.asarray(T_new, np.float32)
+        self.T_wc = jnp.asarray(host)
 
     def snapshot(self) -> "KeyframeDatabase":
         """Shallow copy for a reader thread: the device arrays are immutable
@@ -572,8 +600,8 @@ def find_closures(
     # metric search-radius gate (ref CTrackerSV.h:89, radius check
     # CTrackerSV.cpp:980): camera centers of candidate and query must be
     # within sqrt(search_radius_m2) under the CURRENT (post-correction)
-    # pose estimates
-    T_wc_np = np.asarray(db.T_wc)
+    # pose estimates. Host mirror: no device round trip per query.
+    T_wc_np = db.poses_host()
     if np.isfinite(search_radius_m2):
         R_all = T_wc_np[: query_kf + 1, :3, :3]
         t_all = T_wc_np[: query_kf + 1, :3, 3]

@@ -236,7 +236,57 @@ def _refine_vmap(table, fx, fy, cx, cy, bq,
     return refine(table.pos_w, table.meas_uv, table.meas_T_wc, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _idwa_positions(table, fx, fy, cx, cy, bq):
+    """[L,3] inverse-depth-weighted average of the measurement
+    back-projections — the reference's ``_getOptimizedLandmarkIDWA``
+    (CLandmark.cpp:583-646). The reference also carries a 3D-point GN
+    alternate ``_getOptimizedLandmarkLEFT3D`` (:347-445) whose stationary
+    point is the (robust) MEAN of the same back-projections — the
+    unweighted special case of this average — so one implementation covers
+    both dormant alternates. Used as the degenerate-geometry fallback when
+    the STEREOUV GN fails its gates."""
+    uv = table.meas_uv                                   # [L,M,4]
+    disp = uv[..., 0] - uv[..., 2]
+    z = jnp.where(disp > 0.01, -bq / jnp.maximum(disp, 0.01), jnp.inf)
+    x = (uv[..., 0] - cx) * z / fx
+    y = (uv[..., 1] - cy) * z / fy
+    p_c = jnp.stack([x, y, z], -1)                       # [L,M,3]
+    R = table.meas_T_wc[..., :3, :3]                     # [L,M,3,3]
+    t = table.meas_T_wc[..., :3, 3]
+    mask = measurement_mask(table)                       # [L,M]
+    ok = mask & jnp.isfinite(z) & (z > 0.05)
+    w = jnp.where(ok, 1.0 / jnp.maximum(z, 0.05), 0.0)   # [L,M]
+    p_w = jnp.einsum("lmji,lmj->lmi", R,
+                     jnp.where(ok[..., None], p_c, 0.0) - t,
+                     precision=jax.lax.Precision.HIGHEST)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-9)
+    return jnp.sum(w[..., None] * p_w, axis=1) / wsum[:, None]
+
+
+def _evaluate_at(table, p, fx, fy, cx, cy, bq, kernel_px2):
+    """Acceptance-gate statistics of candidate positions ``p`` [L,3]:
+    (inlier_ratio [L], avg_err [L], ok_geom [L])."""
+    p_c = jnp.einsum("lmij,lj->lmi", table.meas_T_wc[..., :3, :3], p,
+                     precision=jax.lax.Precision.HIGHEST) \
+        + table.meas_T_wc[..., :3, 3]                    # [L,M,3]
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / safe_z
+    u_l = fx * x * iz + cx
+    v_l = fy * y * iz + cy
+    u_r = (fx * x + bq) * iz + cx
+    uv = table.meas_uv
+    err2 = ((u_l - uv[..., 0]) ** 2 + (v_l - uv[..., 1]) ** 2
+            + (u_r - uv[..., 2]) ** 2 + (v_l - uv[..., 3]) ** 2)
+    usable = measurement_mask(table).astype(p.dtype) * (z > 0.05)
+    n = jnp.maximum(jnp.sum(usable, axis=1), 1.0)
+    inlier_ratio = jnp.sum(usable * (err2 < kernel_px2), axis=1) / n
+    avg_err = jnp.sum(jnp.where(usable > 0, err2, 0.0), axis=1) / n
+    ok_geom = jnp.all(jnp.isfinite(p), axis=-1) & (jnp.sum(usable, axis=1) > 0)
+    return inlier_ratio, avg_err, ok_geom
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "idwa_fallback"))
 def optimize_landmarks(
     table: LandmarkTable,
     cam: StereoCamera,
@@ -248,6 +298,7 @@ def optimize_landmarks(
     max_iterations: int = 100,
     convergence: float = 1e-5,
     damping: float = 1e-6,
+    idwa_fallback: bool = True,
 ) -> LandmarkTable:
     """Refine every eligible landmark in the table in one fused computation.
 
@@ -276,6 +327,21 @@ def optimize_landmarks(
         & (inlier_ratio > min_inlier_ratio)
         & (avg_err < max_error_px2)
     )
+    if idwa_fallback:
+        # degenerate-geometry fallback (the reference's dormant alternates
+        # _getOptimizedLandmarkLEFT3D / _getOptimizedLandmarkIDWA,
+        # CLandmark.cpp:347-445,583-646): when the pixel-space GN failed
+        # its gates, try the inverse-depth-weighted average of the
+        # measurement back-projections — it ignores the (possibly
+        # ill-conditioned) GN landscape entirely and passes exactly when
+        # the raw measurements agree
+        p_idwa = _idwa_positions(table, fx, fy, cx, cy, bq)
+        ir2, ae2, ok2 = _evaluate_at(table, p_idwa, fx, fy, cx, cy, bq,
+                                     kernel_px2)
+        idwa_ok = (eligible & ~success & ok2
+                   & (ir2 > min_inlier_ratio) & (ae2 < max_error_px2))
+        p_stack = jnp.where(idwa_ok[:, None], p_idwa, p_stack)
+        success = success | idwa_ok
     return table.replace(
         pos_w=jnp.where(success[:, None], p_stack, table.pos_w),
         is_optimal=jnp.where(eligible, success, table.is_optimal),

@@ -24,6 +24,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite compiles hundreds of programs;
+# repeat runs (CI, bisects) reuse them, which both cuts wall-clock and
+# reduces in-process compile pressure (VERDICT r3 Weak-7: a single-process
+# full run once died inside an XLA compile after ~35% of the suite)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -248,3 +248,42 @@ def test_optimize_landmarks_rejects_garbage(rng):
     )
     out = landmark_opt.optimize_landmarks(table, cam)
     assert np.asarray(out.opt_failed).sum() >= 3
+
+
+def test_optimize_landmarks_idwa_fallback_recovers_bad_estimate(rng):
+    """The inverse-depth-weighted-average fallback (ref dormant alternates
+    _getOptimizedLandmarkLEFT3D/_getOptimizedLandmarkIDWA,
+    CLandmark.cpp:347-445,583-646): a landmark whose stored estimate is
+    BEHIND the cameras gives the pixel-space GN zero usable weights (it
+    cannot move), but the measurements themselves agree — IDWA must
+    recover the true position."""
+    cam = make_cam()
+    L, M = 8, 8
+    table = lm.make_table(L, M)
+    p_true = make_world(rng, L)
+    poses = [np.asarray(se3.exp_se3(jnp.asarray(
+        [0, 0, -0.5 * i, 0, 0.002 * i, 0], jnp.float32))) for i in range(M)]
+    meas_uv = np.zeros((L, M, 4), np.float32)
+    meas_T = np.zeros((L, M, 4, 4), np.float32)
+    for i, T in enumerate(poses):
+        uv4, _ = observe(cam, T, p_true, noise=0.1, rng=rng)
+        meas_uv[:, i] = uv4
+        meas_T[:, i] = T
+    bad = np.tile(np.array([0.0, 0.0, -50.0], np.float32), (L, 1))
+    table = table.replace(
+        active=jnp.ones(L, bool),
+        pos_w=jnp.asarray(bad),                   # behind every camera
+        meas_uv=jnp.asarray(meas_uv),
+        meas_T_wc=jnp.asarray(meas_T),
+        meas_count=jnp.full(L, M, jnp.int32),
+    )
+    out = landmark_opt.optimize_landmarks(table, cam)
+    opt = np.asarray(out.is_optimal)
+    assert opt.mean() > 0.8, f"IDWA fallback failed: {opt}"
+    err = np.linalg.norm(np.asarray(out.pos_w) - p_true, axis=-1)
+    near = opt & (p_true[:, 2] < 25.0)
+    if near.any():
+        assert np.median(err[near]) < 0.5
+    # and without the fallback the same table must fail
+    out2 = landmark_opt.optimize_landmarks(table, cam, idwa_fallback=False)
+    assert not np.any(np.asarray(out2.is_optimal))
