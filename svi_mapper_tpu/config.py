@@ -241,16 +241,35 @@ class TrackingParams:
 
     # --- depth-dependent measurement information (ref depth-tiered edges,
     #     Cg2oOptimizer.cpp:1383-1466: every tier carries the common factor
-    #     dInformationFactor = 1/z — "the closer the more reliable" — and
-    #     far landmarks need > 1 px of disparity to contribute at all,
-    #     :1444-1447). Our BA residual is uniformly pixel-space, so the
-    #     tier-specific unit constants (1000 m^-2 / x100 depth / x1000
-    #     disparity) don't transfer; the 1/z information factor and the
-    #     far-disparity floor do. Weights are mean-normalized over the
-    #     window so the robust kernel's px^2 scale stays calibrated. ---
-    ba_depth_weighting: bool = True
-    ba_far_depth2_m2: float = 50.0      # beyond this squared range ...
-    ba_min_far_disparity_px: float = 1.0  # ... require > 1 px disparity
+    #     dInformationFactor = 1/z, and far landmarks need > 1 px of
+    #     disparity to contribute, :1444-1447). UNIT ANALYSIS + MEASUREMENT
+    #     drive the defaults here: the reference's 1/z factor scales
+    #     METER-unit residuals, and since pixel errors map to meters as
+    #     ~z/f, a 1/z meter-space information is ≈CONSTANT information in
+    #     pixel space — our residuals are already pixel-space, so stacking
+    #     another 1/z double-counts depth. Measured on the 120-frame clean
+    #     loop (r4): 1/z weighting costs 0.05 m ATE and the far-disparity
+    #     drop costs 0.03 m (far points still carry bearing information in
+    #     a pixel residual; the reference drops the whole edge). Both stay
+    #     available for depth-dependent-noise regimes — where 1/z weighting
+    #     measurably wins (tests/test_backend.py::
+    #     test_ba_depth_weighting_beats_uniform) — but default OFF.
+    #     Weights are mean-normalized over the window so the robust
+    #     kernel's px^2 scale stays calibrated. ---
+    ba_depth_weighting: bool = False
+    ba_far_depth2_m2: float = 50.0        # far tier: beyond this squared range
+    ba_min_far_disparity_px: float = 0.0  # ref 1.0 drops far sub-px-disparity
+                                          # edges entirely (see above)
+
+    # --- IDWA landmark-refinement fallback (ref dormant alternates
+    #     CLandmark.cpp:347-445,583-646): rescue landmarks whose pixel-GN
+    #     landscape is degenerate from the inverse-depth-weighted average
+    #     of their measurement back-projections. Measured on the clean
+    #     loop: rescued marginal landmarks re-seed from (drifted)
+    #     back-projections and cost 0.09 m raw ATE — opt-in, mirroring the
+    #     reference where both alternates are disabled in optimize()
+    #     (CLandmark.cpp:289-291). ---
+    landmark_idwa_fallback: bool = False
 
     # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
     motion_scaling_cap: float = 5.0

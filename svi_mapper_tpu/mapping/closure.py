@@ -368,6 +368,129 @@ def _prob_distance(desc_q, prob_q, desc_r, prob_r):
     return 0.5 * (d_qr + d_rq.T)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "C", "Cm", "cutoff", "prob_cutoff"))
+def closure_query_fused(
+    centroids, child_valid, weights,   # the vocabulary (pytrees)
+    vectors: jax.Array,                # [N, W] stored BoW vectors
+    query_kf: jax.Array,               # scalar int32
+    desc_db: jax.Array, p_db: jax.Array, valid_db: jax.Array,
+    T_db: jax.Array,                   # [N,4,4] stored keyframe poses
+    lo: jax.Array,                     # temporal bound (< lo eligible)
+    radius_m2: jax.Array,              # metric candidate gate (inf = off)
+    entry_floor: jax.Array,            # int32 shortlist match-count floor
+    k: int, C: int, Cm: int, cutoff: int,
+    prob_db: jax.Array | None = None,
+    prob_cutoff: float = 50.0,
+    icp_inlier_m2: float = 1.0,
+    icp_min_inliers: int = 25,
+    icp_max_avg_error: float = 0.9,
+):
+    """The WHOLE loop-closure query as ONE dispatch: BoW scoring ->
+    temporal + metric-radius gates -> top-C shortlist -> exact match
+    counts -> top-Cm candidate selection -> mutual pool matching (exact or
+    probabilistic) -> batched ICP validation.
+
+    The split pipeline (bow_shortlist_counts + host selection +
+    match_pools_many) pays two dispatches and two blocking host reads per
+    keyframe — ~4 tunnel round trips on a remote accelerator, the largest
+    single back-end cost at ~50 searches per bench loop. Fused: one
+    dispatch, one host read.
+
+    Returns ``(cand [Cm], ok [Cm], n_matches [Cm], T_qr [Cm,4,4],
+    icp_ok [Cm], inliers [Cm], inl_mask [Cm,P], fwd [Cm,P])``.
+    """
+    from svi_mapper_tpu.mapping.vocabulary import _bow_vector_jit, score_l1
+
+    desc_q = desc_db[query_kf]
+    p_q = p_db[query_kf]
+    valid_q = valid_db[query_kf]
+    v = _bow_vector_jit(centroids, child_valid, weights, desc_q,
+                        valid_q.astype(jnp.float32), k)
+    s = score_l1(v, vectors)                               # [Nv]
+    Nv = vectors.shape[0]                 # BoW store capacity
+    Nd = T_db.shape[0]                    # pool/pose store capacity
+    idx = jnp.arange(Nv, dtype=jnp.int32)
+    # temporal exclusion + metric search radius (ref CTrackerSV.h:89);
+    # the BoW vector store and the pool store grow independently, so the
+    # [Nd] distance vector aligns to the [Nv] score vector by index
+    R = T_db[:, :3, :3]
+    t = T_db[:, :3, 3]
+    centers = -jnp.einsum("kji,kj->ki", R, t, precision=_PREC)
+    d2 = jnp.sum((centers - centers[query_kf]) ** 2, axis=-1)
+    if Nv <= Nd:
+        d2v = d2[:Nv]
+    else:
+        d2v = jnp.concatenate(
+            [d2, jnp.full((Nv - Nd,), jnp.inf, d2.dtype)])
+    s = jnp.where((idx < lo) & (d2v <= radius_m2), s, -1.0)
+    top_s, short = jax.lax.top_k(s, C)
+    short = short.astype(jnp.int32)
+    safe = jnp.where(top_s > 0.0, short, 0)
+    desc_r = jnp.take(desc_db, safe, axis=0)               # [C,P,8]
+    valid_r = jnp.take(valid_db, safe, axis=0)
+    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    d = jnp.where(valid_r[None, :, :], d, _BIG)
+    dmin = jnp.min(d, axis=-1)                             # [P,C]
+    counts = jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
+                     axis=0)
+    counts = jnp.where(top_s > 0.0, counts, 0)
+    # top-Cm candidates by exact match count, gated by the entry floor
+    top_c, sel = jax.lax.top_k(counts, Cm)
+    cand = safe[sel]                                       # [Cm] DB indices
+    ok = top_c >= entry_floor
+    cand_safe = jnp.where(ok, cand, 0)
+    T_q = T_db[query_kf]
+    T_init = jnp.matmul(
+        T_q[None], se3.inv_T(jnp.take(T_db, cand_safe, axis=0)),
+        precision=_PREC)
+    desc_c = jnp.take(desc_db, cand_safe, axis=0)
+    p_c = jnp.take(p_db, cand_safe, axis=0)
+    valid_c = jnp.take(valid_db, cand_safe, axis=0)
+    prob_q = None if prob_db is None else prob_db[query_kf]
+    prob_c = None if prob_db is None else jnp.take(prob_db, cand_safe, axis=0)
+
+    def one(dr, pr, vr, Ti, prob_ri):
+        pq, prm, okm, fwd = match_pools(desc_q, p_q, valid_q, dr, pr, vr,
+                                        cutoff=cutoff, prob_q=prob_q,
+                                        prob_r=prob_ri,
+                                        prob_cutoff=prob_cutoff)
+        res = align_clouds(pq, prm, okm, T_init=Ti,
+                           inlier_m2=icp_inlier_m2,
+                           min_inliers=icp_min_inliers,
+                           max_avg_error=icp_max_avg_error)
+        n_matches = jnp.sum(okm.astype(jnp.int32))
+        q = se3.transform(res.T_qr, prm)
+        err2 = jnp.sum((q - pq) ** 2, -1)
+        inl = okm & (err2 < icp_inlier_m2)
+        return n_matches, res.T_qr, res.ok, res.inliers, inl, fwd
+
+    # the expensive match + ICP stage only EXECUTES when some candidate
+    # passed the entry gate (most keyframes have none — the old split
+    # pipeline skipped its second dispatch then, and running the [P,C,P]
+    # match unconditionally measurably costs full-SLAM throughput)
+    P = desc_q.shape[0]
+
+    def _match(_):
+        if prob_c is None:
+            return jax.vmap(lambda dr, pr, vr, Ti: one(dr, pr, vr, Ti, None))(
+                desc_c, p_c, valid_c, T_init)
+        return jax.vmap(one)(desc_c, p_c, valid_c, T_init, prob_c)
+
+    def _skip(_):
+        return (jnp.zeros((Cm,), jnp.int32),
+                jnp.broadcast_to(jnp.eye(4, dtype=T_db.dtype), (Cm, 4, 4)),
+                jnp.zeros((Cm,), jnp.bool_),
+                jnp.zeros((Cm,), jnp.int32),
+                jnp.zeros((Cm, P), jnp.bool_),
+                jnp.zeros((Cm, P), jnp.int32))
+
+    n_m, T_qr, icp_ok, inliers, inl, fwd = jax.lax.cond(
+        jnp.any(ok), _match, _skip, None)
+    return cand, ok, n_m, T_qr, icp_ok, inliers, inl, fwd
+
+
 @functools.partial(jax.jit, static_argnames=("cutoff", "prob_cutoff"))
 def match_pools_many(
     query_kf: jax.Array,          # scalar int32 — query pool index
@@ -559,23 +682,51 @@ def find_closures(
     if n_q < min_matches:
         return []
 
+    floor = max(min_matches, int(min_relative * n_q))
+    kw = icp_kwargs or {}
     if db.bow is not None and db.bow.n > 0:
-        # BoW shortlist (ref DBoW2 query, CTrackerGT.cpp:411): BoW scoring,
-        # top-C selection, and exact match counting fuse into ONE dispatch
-        # (bow_shortlist_counts) — a remote accelerator pays one round
-        # trip for the whole place-recognition stage.
+        # the default path: BoW scoring, temporal + metric gates, top-C
+        # shortlist, exact counting, candidate selection, pool matching
+        # (exact or probabilistic) and ICP validation all run as ONE
+        # dispatch + ONE host read (closure_query_fused) — the split
+        # pipeline cost ~4 tunnel round trips per keyframe.
         C = max(4 * max_candidates, 8)
         lo_b = max(0, query_kf - exclude_recent)
-        short, counts = jax.device_get(bow_shortlist_counts(
-            db.bow.vocab.centroids, db.bow.vocab.child_valid,
-            db.bow.vocab.weights, db.bow.vectors,
-            jnp.int32(query_kf), db.desc, db.valid,
-            jnp.int32(lo_b), db.bow.vocab.k, C, hamming_cutoff,
-        ))
-        scores = np.zeros(db.desc.shape[0], np.int32)
-        live = counts > 0
-        scores[short[live]] = counts[live]
-    elif db.index is not None:
+        entry = min_matches if use_prob else floor
+        cand, okf, n_matches, T_qr, icp_ok, inliers, inl_mask, fwd = \
+            jax.device_get(closure_query_fused(
+                db.bow.vocab.centroids, db.bow.vocab.child_valid,
+                db.bow.vocab.weights, db.bow.vectors,
+                jnp.int32(query_kf), db.desc, db.p_cam, db.valid,
+                db.T_wc, jnp.int32(lo_b),
+                jnp.float32(search_radius_m2), jnp.int32(entry),
+                db.bow.vocab.k, C, max_candidates, hamming_cutoff,
+                prob_db=db.prob if use_prob else None,
+                prob_cutoff=prob_cutoff,
+                icp_inlier_m2=kw.get("inlier_m2", 1.0),
+                icp_min_inliers=kw.get("min_inliers", 25),
+                icp_max_avg_error=kw.get("max_avg_error", 0.9),
+            ))
+        match_floor = floor if use_prob else min_matches
+        results = []
+        seen: set[int] = set()
+        for j in range(max_candidates):
+            c = int(cand[j])
+            if (not bool(okf[j]) or c in seen
+                    or int(n_matches[j]) < match_floor
+                    or not bool(icp_ok[j])):
+                continue
+            seen.add(c)
+            slots_q = np.nonzero(inl_mask[j])[0].astype(np.int32)
+            pairs = np.stack(
+                [slots_q, fwd[j][slots_q].astype(np.int32)], -1)
+            results.append(ClosureCandidate(
+                query_kf=query_kf, ref_kf=c, T_qr=T_qr[j],
+                inliers=int(inliers[j]), matches=int(n_matches[j]),
+                pairs=pairs,
+            ))
+        return results
+    if db.index is not None:
         # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
         # descriptor best-leaf vote counts per keyframe — same score
         # semantics as score_pools but sublinear in stored descriptors.
@@ -611,7 +762,6 @@ def find_closures(
     # relative-match gate (ref :479) + absolute floor. In probabilistic
     # mode only the absolute floor applies here; the relative gate is
     # enforced on the probabilistic match count after the match stage.
-    floor = max(min_matches, int(min_relative * n_q))
     entry = min_matches if use_prob else floor
     cand_idx = np.argsort(scores)[::-1][:max_candidates]
     cand_idx = [int(c) for c in cand_idx if scores[c] >= entry]
@@ -620,7 +770,6 @@ def find_closures(
 
     # batched match + ICP validation over a FIXED candidate width (one
     # dispatch; padding repeats candidate 0 and is dropped on host)
-    kw = icp_kwargs or {}
     C = max_candidates
     n_cand = len(cand_idx)
     cand_pad = np.asarray(

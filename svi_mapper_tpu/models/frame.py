@@ -289,6 +289,7 @@ def process_frame(
             min_inlier_ratio=params.landmark_min_inlier_ratio,
             max_iterations=params.landmark_max_iterations,
             convergence=params.landmark_convergence,
+            idwa_fallback=params.landmark_idwa_fallback,
         )
 
     table = jax.lax.cond(do_opt, _opt, lambda t: t, table)

@@ -298,7 +298,7 @@ def optimize_landmarks(
     max_iterations: int = 100,
     convergence: float = 1e-5,
     damping: float = 1e-6,
-    idwa_fallback: bool = True,
+    idwa_fallback: bool = False,   # opt-in: see config.landmark_idwa_fallback
 ) -> LandmarkTable:
     """Refine every eligible landmark in the table in one fused computation.
 

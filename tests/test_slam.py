@@ -37,19 +37,42 @@ def test_slam_loop_closures_found_and_accepted(loop_run):
         assert c.query_kf > len(s.slam_keyframes) - 8
 
 
-def test_slam_loop_improves_ate(loop_run):
+@pytest.fixture(scope="module")
+def vo_only_run():
+    """The same loop WITHOUT loop closure: visual odometry + local BA.
+
+    ``SLAMSystem.trajectory_array`` is NOT a drift measure once closures
+    run — every accepted closure's pose-graph correction folds into the
+    live chain, so entries spanning correction events mix gauges and
+    their ATE grows with the NUMBER of accepted closures (r3 shipped
+    chasing a "raw-VO regression" of exactly this artifact: 0.334 m of
+    gauge jumps, not drift). The odometric accuracy bound therefore
+    measures a closure-free run — the regime the historical 0.25 m bound
+    was calibrated on (front-end + cadence-4 local BA: 0.14-0.19 m;
+    front-end alone drifts ~0.28 m)."""
+    seq = SyntheticSequence(
+        n_frames=120, width=512, height=256, trajectory="loop", loop_radius=12.0
+    )
+    s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=True,
+                   enable_loop_closure=False)
+    for (L, R, _) in seq:
+        s.process(L, R)
+    return seq, s
+
+
+def test_slam_loop_improves_ate(loop_run, vo_only_run):
     seq, s = loop_run
-    m_raw = ev.evaluate(s.trajectory_array, seq.poses_wc)
+    _, s_vo = vo_only_run
+    m_vo = ev.evaluate(s_vo.trajectory_array, seq.poses_wc)
     m_opt = ev.evaluate(s.optimized_trajectory(), seq.poses_wc)
     assert np.isfinite(m_opt.ate_rmse_m)
-    # round-2 calibration: raw VO on this loop is already at 0.14 m ATE
-    # (odometry-chain BA + cadence-4 ring clearing), so the closure's
-    # relative gain is small by construction — the gate is that the
-    # back-end never hurts and the absolute accuracy stays tight
-    # (observed opt 0.122 m)
-    assert m_opt.ate_rmse_m <= m_raw.ate_rmse_m * 1.02
+    # raw-VO bound on the PURE-VO run (see vo_only_run: the full system's
+    # internal trajectory_array mixes gauges at correction events)
+    assert m_vo.ate_rmse_m < 0.25
+    # the full back-end must beat pure VO (observed r4: opt 0.030 vs
+    # VO ~0.15) and hold an absolute accuracy bound
+    assert m_opt.ate_rmse_m <= m_vo.ate_rmse_m * 1.02
     assert m_opt.ate_rmse_m < 0.2
-    assert m_raw.ate_rmse_m < 0.25
 
 
 @pytest.fixture(scope="module")

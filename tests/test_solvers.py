@@ -277,13 +277,15 @@ def test_optimize_landmarks_idwa_fallback_recovers_bad_estimate(rng):
         meas_T_wc=jnp.asarray(meas_T),
         meas_count=jnp.full(L, M, jnp.int32),
     )
-    out = landmark_opt.optimize_landmarks(table, cam)
+    out = landmark_opt.optimize_landmarks(table, cam, idwa_fallback=True)
     opt = np.asarray(out.is_optimal)
     assert opt.mean() > 0.8, f"IDWA fallback failed: {opt}"
     err = np.linalg.norm(np.asarray(out.pos_w) - p_true, axis=-1)
     near = opt & (p_true[:, 2] < 25.0)
     if near.any():
         assert np.median(err[near]) < 0.5
-    # and without the fallback the same table must fail
-    out2 = landmark_opt.optimize_landmarks(table, cam, idwa_fallback=False)
+    # without the (opt-in) fallback the same table must fail — the default
+    # mirrors the reference, where both alternates are disabled in
+    # optimize() (CLandmark.cpp:289-291)
+    out2 = landmark_opt.optimize_landmarks(table, cam)
     assert not np.any(np.asarray(out2.is_optimal))
