@@ -558,10 +558,13 @@ class SLAMSystem(StereoTracker):
 
         if self.enable_loop_closure:
             self._detect_closures(kf)
-        # --- back-end cadence (ref CTrackerSV.cpp:430-451): instability
-        # vetoes everything; otherwise ONE full optimization fires when the
-        # keyframe-delta trigger or the closure waiting-queue trigger is
-        # met, and the cheap windowed refinement keeps its own cadence.
+        self._maybe_trigger_backend(instability)
+
+    def _maybe_trigger_backend(self, instability: int) -> None:
+        """Back-end cadence (ref CTrackerSV.cpp:430-451): instability
+        vetoes everything; otherwise ONE full optimization fires when the
+        keyframe-delta trigger or the closure waiting-queue trigger is
+        met, and the cheap windowed refinement keeps its own cadence."""
         self._kf_since_local_ba += 1
         kf_id = len(self.slam_keyframes) - 1
         delta = self.params.optimize_every_keyframes
