@@ -102,6 +102,14 @@ def bench_full_slam(quick: bool) -> tuple[float, dict]:
     n_frames = 48 if quick else 208
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
                             trajectory="loop", loop_radius=26.0)
+    if quick:
+        # keep the FULL bench's per-frame motion (0.9 m + 2 deg): the
+        # default 1.15-lap fit would make a 48-frame loop yaw ~9 deg/frame
+        # — untrackable at KITTI resolution, so quick mode measured a
+        # lost tracker (keyframes=0). No revisit in quick; fps only.
+        from svi_mapper_tpu.io.synthetic import loop_trajectory
+
+        seq.poses_wc = loop_trajectory(n_frames, 26.0, frames_per_loop=181)
     L = jnp.stack([jnp.asarray(f[0]) for f in seq])
     R = jnp.stack([jnp.asarray(f[1]) for f in seq])
     jax.block_until_ready((L, R))
@@ -109,6 +117,13 @@ def bench_full_slam(quick: bool) -> tuple[float, dict]:
     params = dataclasses.replace(
         DEFAULT_PARAMS, max_landmarks=1024, max_detections=1024,
         keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
+        # the circular bench world turns continuously (0.035 rad + 0.9 m
+        # per frame -> motion scaling ~1.8 every frame); the reference's
+        # KITTI-calibrated optimization veto of 1.5 (CTrackerSV.h:72)
+        # assumes straight stretches (~1.4) between turns and would block
+        # the entire back-end here, so the bench raises the bound — the
+        # veto itself stays unit-tested in tests/test_closure_queue.py
+        max_motion_scaling_for_optimization=2.5,
     )
 
     def run(overlap: bool) -> SLAMSystem:
@@ -118,7 +133,10 @@ def bench_full_slam(quick: bool) -> tuple[float, dict]:
         # boundaries. Both are measured (VERDICT r3 Next-4): on a single
         # chip the device work of both threads serializes, so overlap only
         # hides HOST time and the winner is an empirical question.
-        slam = SLAMSystem(seq.cam, params, overlap_backend=overlap)
+        # 'force' bypasses the single-device auto-fallback: the A/B here
+        # deliberately measures true overlap cost on one chip
+        slam = SLAMSystem(seq.cam, params,
+                          overlap_backend="force" if overlap else False)
         slam.process_many(L, R, chunk=16)
         slam.finalize_backend()
         return slam
@@ -161,6 +179,11 @@ def bench_svi(quick: bool) -> float:
     sub, dt = 10, 0.05
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
                             trajectory="loop", loop_radius=26.0)
+    if quick:
+        # full-bench per-frame motion (see bench_full_slam quick note)
+        from svi_mapper_tpu.io.synthetic import loop_trajectory
+
+        seq.poses_wc = loop_trajectory(n_frames, 26.0, frames_per_loop=181)
     # pre-stage frames on device (same as bench_full_slam): re-shipping the
     # ~780 MB stack over the sandbox tunnel every run measures the tunnel,
     # not the tracker (module docstring)
@@ -185,6 +208,13 @@ def bench_svi(quick: bool) -> float:
     params = dataclasses.replace(
         DEFAULT_PARAMS, max_landmarks=1024, max_detections=1024,
         keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
+        # the circular bench world turns continuously (0.035 rad + 0.9 m
+        # per frame -> motion scaling ~1.8 every frame); the reference's
+        # KITTI-calibrated optimization veto of 1.5 (CTrackerSV.h:72)
+        # assumes straight stretches (~1.4) between turns and would block
+        # the entire back-end here, so the bench raises the bound — the
+        # veto itself stays unit-tested in tests/test_closure_queue.py
+        max_motion_scaling_for_optimization=2.5,
     )
 
     def run() -> StereoInertialTracker:
@@ -201,6 +231,135 @@ def bench_svi(quick: bool) -> float:
     fps = n_frames / (time.perf_counter() - t0)
     tr.close()
     return fps
+
+
+def bench_endurance(quick: bool) -> dict:
+    """Reference-scale endurance: a 2,048-frame multi-revisit loop through
+    the FULL SLAM system (VERDICT r4 Next-1 — the reference's operating
+    point is a 4,541-frame KITTI 00 replay, tracker_gt.cpp:182-268, with a
+    4-32 GB map-scale RAM budget, readme.txt).
+
+    Geometry: ~2.4 laps of a 108 m-radius circle at KITTI-like per-frame
+    motion (0.8 m + 0.42 deg/frame) -> ~1,600 m of travel, ~320 keyframes,
+    laps 2-3 revisiting lap 1 (a long multi-revisit closure regime), and
+    repeated robocentric world shifts (threshold lowered to 150 m so the
+    2R=216 m excursion crosses it; the default 512 m targets real KITTI
+    scale). Frames render on-device per chunk — only PROCESSING time is
+    measured (same pre-staging stance as bench_full_slam).
+
+    Reports: fps over the first vs last quartile (stability), keyframe/
+    closure/world-shift counts, the keyframe-tail time split, pose-graph
+    wall at final graph size, peak host RSS + device memory, and DB size.
+    """
+    import resource
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svi_mapper_tpu.config import DEFAULT_PARAMS
+    from svi_mapper_tpu.eval import trajectory as ev
+    from svi_mapper_tpu.io.synthetic import SyntheticSequence, loop_trajectory
+    from svi_mapper_tpu.models.slam import SLAMSystem
+
+    if quick:
+        n_frames, frames_per_loop, radius = 256, 181, 26.0
+    else:
+        n_frames, frames_per_loop, radius = 2048, 849, 108.0
+    seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
+                            trajectory="loop", loop_radius=radius)
+    seq.poses_wc = loop_trajectory(n_frames, radius,
+                                   frames_per_loop=frames_per_loop)
+
+    params = dataclasses.replace(
+        DEFAULT_PARAMS, max_landmarks=1024, max_detections=1024,
+        # bench keyframe gates (2 m / 0.14 rad): ~650 keyframes over 2,048
+        # frames — the reference-scale graph the short bench never reaches
+        # (denser than the reference's 5 m gate, which also runs clean, to
+        # maximize the graph-size stress this scenario exists to measure)
+        keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
+        max_motion_scaling_for_optimization=2.5,   # all-turn world (above)
+        # multi-lap drift accumulates laterally over an 850-frame lap;
+        # the reference's 5 m radius gate (CTrackerSV.h:89) is calibrated
+        # to its closure-corrected drift — at this endurance scale the
+        # gate widens to 10 m so revisits stay inside it
+        closure_search_radius_m2=100.0,
+    )
+
+    slam = SLAMSystem(seq.cam, params)
+    slam.world_shift_threshold_m = 150.0
+    chunk = 64
+    chunk_times: list[tuple[int, float]] = []
+    warm = True
+    for s0 in range(0, n_frames, chunk):
+        e0 = min(s0 + chunk, n_frames)
+        L = jnp.stack([jnp.asarray(seq.frame(i)[0]) for i in range(s0, e0)])
+        R = jnp.stack([jnp.asarray(seq.frame(i)[1]) for i in range(s0, e0)])
+        jax.block_until_ready((L, R))
+        if warm:
+            # compile warmup outside the measurement (same shapes)
+            w = SLAMSystem(seq.cam, params)
+            w.process_many(L[:16], R[:16], chunk=16)
+            w.close()
+            warm = False
+        t0 = time.perf_counter()
+        slam.process_many(L, R, chunk=16)
+        chunk_times.append((e0 - s0, time.perf_counter() - t0))
+    t0 = time.perf_counter()
+    slam.finalize_backend()
+    finalize_s = time.perf_counter() - t0
+
+    frames_done = np.array([c[0] for c in chunk_times])
+    times = np.array([c[1] for c in chunk_times])
+    cum = np.cumsum(frames_done)
+    q1_mask = cum <= n_frames // 4
+    q4_mask = cum > 3 * n_frames // 4
+    fps_q1 = frames_done[q1_mask].sum() / times[q1_mask].sum()
+    fps_q4 = frames_done[q4_mask].sum() / times[q4_mask].sum()
+    fps_all = n_frames / times.sum()
+
+    try:
+        traj = slam.optimized_trajectory()
+        ate = (ev.evaluate(traj, seq.poses_wc).ate_rmse_m
+               if np.isfinite(traj).all() else float("nan"))
+    except Exception:
+        ate = float("nan")
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    try:
+        mem = jax.devices()[0].memory_stats() or {}
+        dev_gb = mem.get("peak_bytes_in_use", mem.get("bytes_in_use", 0)) / 1e9
+    except Exception:
+        dev_gb = float("nan")
+    tm = slam.timings
+    n_kf = len(slam.slam_keyframes)
+    out = {
+        "endurance_frames": n_frames,
+        "endurance_fps": round(fps_all, 2),
+        "endurance_fps_q1": round(fps_q1, 2),
+        "endurance_fps_q4": round(fps_q4, 2),
+        "endurance_fps_sag_pct": round(100 * (1 - fps_q4 / fps_q1), 1),
+        "endurance_keyframes": n_kf,
+        "endurance_closures_accepted": slam.stats.get("closures_accepted", 0),
+        "endurance_closures_deduped": slam.stats.get("closures_deduped", 0),
+        "endurance_world_shifts": slam.world_shifts,
+        "endurance_ba_runs": slam.stats.get("ba_runs", 0),
+        "endurance_pose_graph_runs": slam.stats.get("pose_graph_runs", 0),
+        "endurance_pose_graph_last_ms": round(
+            1e3 * tm.get("pose_graph_last_s", 0.0), 1),
+        "endurance_pose_graph_last_n": int(tm.get("pose_graph_last_n", 0)),
+        "endurance_kf_tail_ms_per_kf": {
+            k[3:]: round(1e3 * tm.get(k, 0.0) / max(n_kf, 1), 2)
+            for k in ("kf_db_add", "kf_closure", "kf_backend", "kf_total")},
+        "endurance_finalize_s": round(finalize_s, 2),
+        "endurance_ate_m": (round(float(ate), 3)
+                            if np.isfinite(ate) else None),
+        "endurance_db_keyframes": slam.db.n,
+        "endurance_db_capacity": slam.db.capacity,
+        "endurance_peak_rss_gb": round(rss_gb, 2),
+        "endurance_device_peak_gb": round(dev_gb, 2),
+    }
+    slam.close()
+    return out
 
 
 def bench_ba(quick: bool) -> float:
@@ -265,10 +424,20 @@ def main() -> None:
 
     if "--stages" in sys.argv:
         # per-stage device budget (the tracker_gt exit report analog,
-        # tracker_gt.cpp:285-308) — human-readable mode
+        # tracker_gt.cpp:285-308) + hardware-utilization roofline —
+        # human-readable mode
         from svi_mapper_tpu.eval.stage_bench import format_budget, stage_budget
+        from svi_mapper_tpu.eval.utilization import (format_report,
+                                                     utilization_report)
 
         print(format_budget(stage_budget()))
+        print()
+        print(format_report(utilization_report()))
+        return
+
+    if "--endurance" in sys.argv:
+        # standalone endurance mode (also runs inside the default bench)
+        print(json.dumps(bench_endurance(quick)))
         return
 
     # certify which kernel path each hot op dispatches to on THIS backend
@@ -285,8 +454,33 @@ def main() -> None:
     frontend_fps = bench_frontend(quick)
     ba_ips = bench_ba(quick)
     svi_fps = bench_svi(quick)
+    endurance = bench_endurance(quick)
     slam_fps_sync, slam_fps_overlap, slam_stats = bench_full_slam(quick)
     slam_fps = max(slam_fps_sync, slam_fps_overlap)
+
+    # hardware-utilization evidence (VERDICT r4 Next-3): MFU / HBM fraction
+    # / bound classification per hot stage from XLA's cost model + stream
+    # timing — the absolute claim behind the CPU-relative ratios
+    util = {}
+    try:
+        from svi_mapper_tpu.eval.utilization import utilization_report
+
+        rep = utilization_report()
+        util = {
+            "device": rep["device_kind"],
+            "stages": {
+                name: {
+                    "stream_ms": round(r["wall_stream_ms"], 2),
+                    "sync_ms": round(r["wall_sync_ms"], 2),
+                    "mfu_pct": round(100 * r.get("mfu", 0.0), 2),
+                    "hbm_pct": round(100 * r.get("hbm_frac", 0.0), 2),
+                    "bound": r["bound"],
+                }
+                for name, r in rep["stages"].items()
+            },
+        }
+    except Exception as e:                       # pragma: no cover
+        util = {"error": str(e)}
 
     print(
         json.dumps(
@@ -303,9 +497,12 @@ def main() -> None:
                 "ba_vs_baseline": round(ba_ips / CPU_BA_ITERS_PER_SEC, 3),
                 "svi_frames_per_sec": round(svi_fps, 3),
                 "closures_accepted": slam_stats.get("closures_accepted", 0),
+                "closures_deduped": slam_stats.get("closures_deduped", 0),
                 "ba_runs": slam_stats.get("ba_runs", 0),
                 "keyframes": slam_stats.get("keyframes", 0),
                 "kernels": kernels,
+                "utilization": util,
+                **endurance,
             }
         )
     )

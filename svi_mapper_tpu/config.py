@@ -233,6 +233,19 @@ class TrackingParams:
     # per-snapshot descriptors past the exact cutoff between revisits.
     closure_probabilistic: bool = True
     closure_prob_cutoff: float = 50.0
+    # temporal exclusion: a query may only close against keyframes at least
+    # this many keyframes older (ref m_uMinimumLoopClosingKeyFrameDistance
+    # = 20, CTrackerSV.h:84)
+    closure_exclude_recent: int = 20
+    # near-duplicate edge suppression: an accepted closure whose
+    # (ref_kf, query_kf) both lie within this many keyframes of an
+    # already-accepted edge is redundant — the same revisit event seen one
+    # keyframe later. Each redundant edge adds pose-graph rows and identity
+    # -merge work with no new information (the reference's wider
+    # 20-keyframe exclusion + per-keyframe single search naturally thins
+    # this; our batched multi-candidate search needs the explicit gate).
+    # One edge per revisit event; <0 disables.
+    closure_dedup_radius_kf: int = 4
     # loop-closure pose-graph edges damp their translation-z information
     # x100 (ref _getInformationNoZ, Cg2oOptimizer.cpp:1542-1550): the ICP
     # transform's depth component along the optical axis is its noisy
@@ -273,6 +286,11 @@ class TrackingParams:
 
     # --- motion scaling (ref CTrackerGT.cpp:157 / CTrackerSVI.cpp:494) ---
     motion_scaling_cap: float = 5.0
+    # back-end trigger veto: optimization only fires while the platform
+    # moves smoothly — (ms_current + ms_last)/2 must stay BELOW this bound
+    # (ref m_dMaximumMotionScalingForOptimization = 1.5, CTrackerSV.h:72,
+    # checked alongside the instability==0 veto at CTrackerSV.cpp:431)
+    max_motion_scaling_for_optimization: float = 1.5
 
     # --- regional recovery (stage-2 second chance, ref
     #     CFundamentalMatcher.cpp:495-727) ---

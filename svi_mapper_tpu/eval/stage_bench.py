@@ -166,11 +166,6 @@ def stage_budget(width: int = 1241, height: int = 376, reps: int = 10):
     db.bow = BowDatabase(vocab, capacity=64)
     for k in range(40):
         db.bow.add(pool_d[k])
-    budget["closure_shortlist"] = _timeit(
-        lambda: cm.bow_shortlist_counts(
-            vocab.centroids, vocab.child_valid, vocab.weights,
-            db.bow.vectors, jnp.int32(39), db.desc, db.valid,
-            jnp.int32(29), vocab.k, 16, 25), reps)
     cand = jnp.asarray(np.arange(4, dtype=np.int32))
     Ti = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (4, 4, 4))
     budget["closure_match_icp"] = _timeit(

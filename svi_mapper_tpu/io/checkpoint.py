@@ -25,7 +25,8 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-CHECKPOINT_VERSION = 1
+# v2: closure waiting-queue state + per-edge uid_pairs/suppressed (r5)
+CHECKPOINT_VERSION = 2
 
 _STATE_FIELDS = (
     "T_wc", "T_wc_prev", "T_last_keyframe", "next_uid", "frame_idx",
@@ -116,6 +117,15 @@ def save_checkpoint(path: str | Path, tracker) -> None:
             "last_opt_kf": tracker._last_opt_kf,
             "uid_parent": {str(k): v for k, v in tracker._uid_parent.items()},
             "excised_uids": sorted(tracker._excised_uids),
+            # closure waiting-queue state (the r4 back-end cadence,
+            # models/slam.py _maybe_trigger_backend): a checkpoint taken
+            # with closures queued must resume with the pending
+            # reconciliation trigger intact
+            "last_closure_opt_kf": int(tracker._last_closure_opt_kf),
+            "closure_kfs_in_queue": int(tracker._closure_kfs_in_queue),
+            "closure_opt_lo": (None if tracker._closure_opt_lo is None
+                               else int(tracker._closure_opt_lo)),
+            "kf_since_local_ba": int(tracker._kf_since_local_ba),
         }
         if kfs:
             arrays["kf__T_wc"] = np.stack([k.T_wc for k in kfs])
@@ -135,9 +145,16 @@ def save_checkpoint(path: str | Path, tracker) -> None:
                             ("acc", tracker.accepted_closures)):
             if edges:
                 arrays[f"cl__{name}__ij"] = np.asarray(
-                    [(e.ref_kf, e.query_kf, int(e.accepted)) for e in edges],
+                    [(e.ref_kf, e.query_kf, int(e.accepted),
+                      int(e.suppressed)) for e in edges],
                     np.int64)
                 arrays[f"cl__{name}__T"] = np.stack([e.T_qr for e in edges])
+                # matched landmark identities of the ICP inliers — restored
+                # closures must keep their identity-merge raw material
+                (arrays[f"cl__{name}__pairs"],
+                 arrays[f"cl__{name}__pairs_offs"]) = _cat(
+                    [np.asarray(e.uid_pairs, np.int64).reshape(-1, 2)
+                     for e in edges], np.int64)
         # keyframe database pools (device arrays -> host)
         for f in ("desc", "p_cam", "valid", "count", "T_wc"):
             arrays[f"db__{f}"] = np.asarray(getattr(tracker.db, f))
@@ -299,15 +316,31 @@ def load_checkpoint(path: str | Path):
                              **({"obs_pos": pos[k]} if pos is not None else {}))
                 for k, (i, fi) in enumerate(zip(s["kf_index"], s["kf_frame_idx"]))
             ]
+        tracker._last_closure_opt_kf = int(s.get("last_closure_opt_kf", 0))
+        tracker._closure_kfs_in_queue = int(s.get("closure_kfs_in_queue", 0))
+        lo = s.get("closure_opt_lo")
+        tracker._closure_opt_lo = None if lo is None else int(lo)
+        tracker._kf_since_local_ba = int(s.get("kf_since_local_ba", 0))
         for name, dest in (("cand", "closure_candidates"),
                            ("acc", "accepted_closures")):
             key = f"cl__{name}__ij"
             if key in arrays:
+                pairs = None
+                if f"cl__{name}__pairs" in arrays:
+                    pairs = _split(arrays[f"cl__{name}__pairs"],
+                                   arrays[f"cl__{name}__pairs_offs"])
                 edges = [
-                    ClosureEdge(ref_kf=int(i), query_kf=int(j),
-                                T_qr=arrays[f"cl__{name}__T"][k],
-                                accepted=bool(a))
-                    for k, (i, j, a) in enumerate(arrays[key])
+                    ClosureEdge(
+                        ref_kf=int(row[0]), query_kf=int(row[1]),
+                        T_qr=arrays[f"cl__{name}__T"][k],
+                        accepted=bool(row[2]),
+                        # v1 checkpoints carry 3 columns and no pairs
+                        suppressed=bool(row[3]) if len(row) > 3 else False,
+                        uid_pairs=(
+                            np.asarray(pairs[k], np.int64).reshape(-1, 2)
+                            if pairs is not None
+                            else np.zeros((0, 2), np.int64)))
+                    for k, row in enumerate(arrays[key])
                 ]
                 setattr(tracker, dest, edges)
         db = tracker.db

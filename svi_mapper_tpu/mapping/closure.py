@@ -171,12 +171,19 @@ class KeyframeDatabase:
             self.bow.add(d)
 
     def add(self, desc: np.ndarray, p_cam: np.ndarray, T_wc: np.ndarray,
-            prob: np.ndarray | None = None) -> int:
+            prob: np.ndarray | None = None,
+            prob_device: tuple | None = None) -> int:
         """Append one keyframe pool (truncated/padded to pool_size).
 
         ``prob`` [n, 256] uint8 — optional quantized bit probabilities of
         the pooled landmarks (the probabilistic descriptors the reference
-        stores per keyframe, CKeyFrame.h:86-94)."""
+        stores per keyframe, CKeyFrame.h:86-94).
+
+        ``prob_device`` = (plane [L, 256] uint8 DEVICE array, sel_idx [n]
+        host int indices): the probability rows stay on device and the
+        pool gather + store run as device ops — the [L, 256] plane is the
+        fat part of a keyframe snapshot (~256 KB) and shipping it through
+        the host cost ~10 ms/keyframe on the tunneled accelerator (r5)."""
         if self.n >= self.capacity:
             self._grow()
         P = self.pool_size
@@ -196,17 +203,25 @@ class KeyframeDatabase:
             jnp.int32(n), jnp.asarray(T_wc, jnp.float32),
         )
         if self.prob is not None:
-            pr = np.zeros((P, 256), np.uint8)
-            if prob is not None:
-                pr[:n] = prob[:n]
+            if prob_device is not None:
+                plane, sel_idx = prob_device
+                idx = np.zeros(P, np.int32)      # pad slots re-read row 0;
+                idx[:n] = sel_idx[:n]            # valid[n:] is False anyway
+                pr = jnp.take(plane, jnp.asarray(idx), axis=0)
+            elif prob is not None:
+                prh = np.zeros((P, 256), np.uint8)
+                prh[:n] = prob[:n]
+                pr = jnp.asarray(prh)
             else:
                 # fall back to the binary snapshot as a degenerate (0/255)
                 # probability so prob-mode matching degrades to exact
                 from svi_mapper_tpu.ops.descriptors import unpack_bits
-                pr[:n] = np.asarray(
+                prh = np.zeros((P, 256), np.uint8)
+                prh[:n] = np.asarray(
                     jax.device_get(unpack_bits(jnp.asarray(d[:n])))
                 ).astype(np.uint8) * 255
-            self.prob = _db_set_prob(self.prob, k, jnp.asarray(pr))
+                pr = jnp.asarray(prh)
+            self.prob = _db_set_prob(self.prob, k, pr)
         self.count_host.append(n)
         if self.T_wc_host is not None:
             self.T_wc_host[k] = np.asarray(T_wc, np.float32)
@@ -233,8 +248,13 @@ class KeyframeDatabase:
         host mirror) — the pose-graph back-propagation into the closure DB
         (ref _backPropagateTrajectoryToFull, Cg2oOptimizer.cpp:1552-1603)."""
         n = len(T_new)
-        host = self.poses_host()
+        # rebind a fresh host array instead of mutating in place: snapshot()
+        # readers (async closure worker) hold the OLD binding, so their
+        # radius-gate / ICP-init pose reads stay internally consistent —
+        # mirroring how the jax arrays are rebound, never mutated.
+        host = self.poses_host().copy()
         host[:n] = np.asarray(T_new, np.float32)
+        self.T_wc_host = host
         self.T_wc = jnp.asarray(host)
 
     def snapshot(self) -> "KeyframeDatabase":
@@ -249,6 +269,29 @@ class KeyframeDatabase:
 # place recognition: batched pool scoring
 # ---------------------------------------------------------------------------
 
+def _pool_nn_counts(
+    desc_q: jax.Array,      # [P, 8] query pool
+    valid_q: jax.Array,     # [P]
+    desc_r: jax.Array,      # [C, P, 8] reference pools
+    valid_r: jax.Array,     # [C, P]
+    cutoff: int,
+) -> jax.Array:
+    """[C] match counts: #query descriptors whose nearest neighbour in pool
+    c is within the Hamming cutoff (the reference's getNumberOfMatches
+    score, CBTree.h:198-236 — exact brute force replaces tree descent).
+
+    The ONE home of the [P, C, P] XOR-popcount-min-count block: every
+    pool-scoring entry point (score_pools, count_pool_matches, the fused
+    closure query) routes through here so gate changes cannot diverge
+    (VERDICT r4 Weak-7)."""
+    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]          # [P,C,P,8]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    d = jnp.where(valid_r[None, :, :], d, _BIG)
+    dmin = jnp.min(d, axis=-1)                                    # [P,C]
+    hit = (dmin <= cutoff) & valid_q[:, None]
+    return jnp.sum(hit.astype(jnp.int32), axis=0)                 # [C]
+
+
 @functools.partial(jax.jit, static_argnames=("cutoff",))
 def score_pools(
     desc_q: jax.Array,      # [P, 8] query pool
@@ -257,14 +300,8 @@ def score_pools(
     valid_db: jax.Array,    # [K, P]
     cutoff: int = 25,       # ref MAXIMUM_DISTANCE_HAMMING (CKeyFrame.h:12)
 ) -> jax.Array:
-    """[K] match counts: #query descriptors whose nearest neighbour in pool k
-    is within the Hamming cutoff (the reference's getNumberOfMatches score)."""
-    x = desc_q[:, None, None, :] ^ desc_db[None, :, :, :]          # [P,K,P,8]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_db[None, :, :], d, _BIG)
-    dmin = jnp.min(d, axis=-1)                                     # [P,K]
-    hit = (dmin <= cutoff) & valid_q[:, None]
-    return jnp.sum(hit.astype(jnp.int32), axis=0)                  # [K]
+    """[K] match counts of the query pool against every database pool."""
+    return _pool_nn_counts(desc_q, valid_q, desc_db, valid_db, cutoff)
 
 
 @functools.partial(jax.jit, static_argnames=("cutoff",))
@@ -275,73 +312,8 @@ def count_pool_matches(
 ) -> jax.Array:
     """Scalar match count of one query pool against one reference pool
     (single-pool slice of :func:`score_pools`)."""
-    x = desc_q[:, None, :] ^ desc_r[None, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_r[None, :], d, _BIG)
-    dmin = jnp.min(d, axis=-1)
-    return jnp.sum(((dmin <= cutoff) & valid_q).astype(jnp.int32))
-
-
-@functools.partial(jax.jit, static_argnames=("k", "C", "cutoff"))
-def bow_shortlist_counts(
-    centroids, child_valid, weights,   # the vocabulary (pytrees)
-    vectors: jax.Array,                # [N, W] stored BoW vectors (device)
-    query_kf: jax.Array,               # scalar int32 — query pool index
-    desc_db: jax.Array, valid_db: jax.Array,
-    lo: jax.Array,                     # temporal exclusion bound (< lo eligible)
-    k: int, C: int, cutoff: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Fused closure shortlisting in ONE dispatch: BoW vector of the query
-    pool -> L1 scores against every stored keyframe -> top-C shortlist ->
-    exact Hamming match counts of the shortlisted pools.
-
-    Returns ``(short [C] int32, counts [C] int32)``; ineligible slots carry
-    count 0. (The reference does the same stages through DBoW2 + per-
-    keyframe trees, CTrackerGT.cpp:411-432 — here they fuse so a remote
-    accelerator pays one dispatch, not one per candidate.)
-    """
-    from svi_mapper_tpu.mapping.vocabulary import _bow_vector_jit, score_l1
-
-    desc_q = desc_db[query_kf]
-    valid_q = valid_db[query_kf]
-    v = _bow_vector_jit(centroids, child_valid, weights, desc_q,
-                        valid_q.astype(jnp.float32), k)
-    s = score_l1(v, vectors)                               # [N]
-    idx = jnp.arange(vectors.shape[0], dtype=jnp.int32)
-    s = jnp.where(idx < lo, s, -1.0)
-    top_s, short = jax.lax.top_k(s, C)
-    short = short.astype(jnp.int32)
-    safe = jnp.where(top_s > 0.0, short, 0)
-    desc_r = jnp.take(desc_db, safe, axis=0)               # [C,P,8]
-    valid_r = jnp.take(valid_db, safe, axis=0)
-    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_r[None, :, :], d, _BIG)
-    dmin = jnp.min(d, axis=-1)                             # [P,C]
-    counts = jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
-                     axis=0)
-    counts = jnp.where(top_s > 0.0, counts, 0)
-    return short, counts
-
-
-@functools.partial(jax.jit, static_argnames=("cutoff",))
-def count_pool_matches_many(
-    desc_q: jax.Array, valid_q: jax.Array,
-    short_idx: jax.Array,        # [C] int32 database keyframe indices
-    desc_db: jax.Array, valid_db: jax.Array,
-    cutoff: int = 25,
-) -> jax.Array:
-    """[C] exact match counts of one query pool against C shortlisted
-    database pools — ONE dispatch instead of C (the per-dispatch latency
-    of a remote accelerator dwarfs the [P, C, P] popcount)."""
-    desc_r = jnp.take(desc_db, short_idx, axis=0)      # [C,P,8]
-    valid_r = jnp.take(valid_db, short_idx, axis=0)    # [C,P]
-    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_r[None, :, :], d, _BIG)
-    dmin = jnp.min(d, axis=-1)                         # [P,C]
-    return jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
-                   axis=0)
+    return _pool_nn_counts(desc_q, valid_q, desc_r[None], valid_r[None],
+                           cutoff)[0]
 
 
 def _prob_distance(desc_q, prob_q, desc_r, prob_r):
@@ -391,11 +363,13 @@ def closure_query_fused(
     counts -> top-Cm candidate selection -> mutual pool matching (exact or
     probabilistic) -> batched ICP validation.
 
-    The split pipeline (bow_shortlist_counts + host selection +
-    match_pools_many) pays two dispatches and two blocking host reads per
-    keyframe — ~4 tunnel round trips on a remote accelerator, the largest
-    single back-end cost at ~50 searches per bench loop. Fused: one
-    dispatch, one host read.
+    A split pipeline (shortlist dispatch + host selection + match/ICP
+    dispatch) pays two dispatches and two blocking host reads per keyframe
+    — ~4 tunnel round trips on a remote accelerator, the largest single
+    back-end cost at ~50 searches per bench loop. Fused: one dispatch, one
+    host read. This is the ONLY production query path for BoW-backed
+    databases; find_closures keeps a split fallback only for the native
+    tree index and vocabulary-less databases.
 
     Returns ``(cand [Cm], ok [Cm], n_matches [Cm], T_qr [Cm,4,4],
     icp_ok [Cm], inliers [Cm], inl_mask [Cm,P], fwd [Cm,P])``.
@@ -429,12 +403,7 @@ def closure_query_fused(
     safe = jnp.where(top_s > 0.0, short, 0)
     desc_r = jnp.take(desc_db, safe, axis=0)               # [C,P,8]
     valid_r = jnp.take(valid_db, safe, axis=0)
-    x = desc_q[:, None, None, :] ^ desc_r[None, :, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    d = jnp.where(valid_r[None, :, :], d, _BIG)
-    dmin = jnp.min(d, axis=-1)                             # [P,C]
-    counts = jnp.sum(((dmin <= cutoff) & valid_q[:, None]).astype(jnp.int32),
-                     axis=0)
+    counts = _pool_nn_counts(desc_q, valid_q, desc_r, valid_r, cutoff)
     counts = jnp.where(top_s > 0.0, counts, 0)
     # top-Cm candidates by exact match count, gated by the entry floor
     top_c, sel = jax.lax.top_k(counts, Cm)
@@ -641,6 +610,114 @@ class ClosureCandidate:
         default_factory=lambda: np.zeros((0, 2), np.int32))
 
 
+def _decode_fused(query_kf: int, match_floor: int, max_candidates: int,
+                  fused) -> list[ClosureCandidate]:
+    """Host-side decode of one (already device_get) closure_query_fused
+    result tuple into validated ClosureCandidates (shared by the
+    single-query and chunk-batched paths)."""
+    cand, okf, n_matches, T_qr, icp_ok, inliers, inl_mask, fwd = fused
+    results: list[ClosureCandidate] = []
+    seen: set[int] = set()
+    for j in range(max_candidates):
+        c = int(cand[j])
+        if (not bool(okf[j]) or c in seen
+                or int(n_matches[j]) < match_floor
+                or not bool(icp_ok[j])):
+            continue
+        seen.add(c)
+        slots_q = np.nonzero(inl_mask[j])[0].astype(np.int32)
+        pairs = np.stack([slots_q, fwd[j][slots_q].astype(np.int32)], -1)
+        results.append(ClosureCandidate(
+            query_kf=query_kf, ref_kf=c, T_qr=T_qr[j],
+            inliers=int(inliers[j]), matches=int(n_matches[j]),
+            pairs=pairs,
+        ))
+    return results
+
+
+def find_closures_batch(
+    db: KeyframeDatabase,
+    query_kfs: list[int],
+    *,
+    min_matches: int = 25,
+    min_relative: float = 0.5,
+    hamming_cutoff: int = 25,
+    exclude_recent: int = 20,
+    max_candidates: int = 4,
+    icp_kwargs: dict | None = None,
+    probabilistic: bool = True,
+    prob_cutoff: float = 50.0,
+    search_radius_m2: float = 25.0,
+) -> list[list[ClosureCandidate]]:
+    """All closure queries of one chunk's keyframes in ONE dispatch + ONE
+    host read (VERDICT r4 Next-2: the per-keyframe fused query still paid
+    one ~26 ms tunnel round trip per keyframe — the r5 utilization rows
+    show every back-end stage is dispatch-bound, so a chunk's queries
+    batch via vmap over the fused program).
+
+    Safe to batch because chunk-mates can never be each other's closure
+    references: the temporal exclusion (>= ``exclude_recent`` keyframes,
+    ref CTrackerSV.h:84) far exceeds any chunk's keyframe count, so each
+    query's eligible set is unaffected by the others having already been
+    added to the database. Falls back to sequential :func:`find_closures`
+    for vocabulary-less / native-index databases.
+    """
+    use_prob = probabilistic and db.prob is not None
+    if db.bow is None or db.bow.n == 0 or len(query_kfs) <= 1:
+        kw = dict(min_matches=min_matches, min_relative=min_relative,
+                  hamming_cutoff=hamming_cutoff,
+                  exclude_recent=exclude_recent,
+                  max_candidates=max_candidates, icp_kwargs=icp_kwargs,
+                  probabilistic=probabilistic, prob_cutoff=prob_cutoff,
+                  search_radius_m2=search_radius_m2)
+        return [find_closures(db, q, **kw) for q in query_kfs]
+
+    kw = icp_kwargs or {}
+    C = max(4 * max_candidates, 8)
+    n_qs = [db.count_of(q) for q in query_kfs]
+    floors = [max(min_matches, int(min_relative * n)) for n in n_qs]
+    entries = [min_matches if use_prob else f for f in floors]
+    los = [max(0, q - exclude_recent) for q in query_kfs]
+    # pad the batch to a power-of-two bucket (repeat the last query) so the
+    # vmapped program compiles once per bucket, not once per chunk width
+    B0 = len(query_kfs)
+    B = 1
+    while B < B0:
+        B *= 2
+    query_kfs = list(query_kfs) + [query_kfs[-1]] * (B - B0)
+    entries = entries + [entries[-1]] * (B - B0)
+    los = los + [los[-1]] * (B - B0)
+
+    def one(q, lo_b, entry):
+        return closure_query_fused(
+            db.bow.vocab.centroids, db.bow.vocab.child_valid,
+            db.bow.vocab.weights, db.bow.vectors,
+            q, db.desc, db.p_cam, db.valid, db.T_wc, lo_b,
+            jnp.float32(search_radius_m2), entry,
+            db.bow.vocab.k, C, max_candidates, hamming_cutoff,
+            prob_db=db.prob if use_prob else None,
+            prob_cutoff=prob_cutoff,
+            icp_inlier_m2=kw.get("inlier_m2", 1.0),
+            icp_min_inliers=kw.get("min_inliers", 25),
+            icp_max_avg_error=kw.get("max_avg_error", 0.9),
+        )
+
+    batched = jax.device_get(jax.vmap(one)(
+        jnp.asarray(query_kfs, jnp.int32),
+        jnp.asarray(los, jnp.int32),
+        jnp.asarray(entries, jnp.int32),
+    ))
+    out: list[list[ClosureCandidate]] = []
+    for b in range(B0):                       # padded slots drop
+        q = query_kfs[b]
+        match_floor = floors[b] if use_prob else min_matches
+        fused_b = tuple(x[b] for x in batched)
+        out.append([] if q < 1 or n_qs[b] < min_matches
+                   else _decode_fused(q, match_floor, max_candidates,
+                                      fused_b))
+    return out
+
+
 def find_closures(
     db: KeyframeDatabase,
     query_kf: int,
@@ -693,39 +770,21 @@ def find_closures(
         C = max(4 * max_candidates, 8)
         lo_b = max(0, query_kf - exclude_recent)
         entry = min_matches if use_prob else floor
-        cand, okf, n_matches, T_qr, icp_ok, inliers, inl_mask, fwd = \
-            jax.device_get(closure_query_fused(
-                db.bow.vocab.centroids, db.bow.vocab.child_valid,
-                db.bow.vocab.weights, db.bow.vectors,
-                jnp.int32(query_kf), db.desc, db.p_cam, db.valid,
-                db.T_wc, jnp.int32(lo_b),
-                jnp.float32(search_radius_m2), jnp.int32(entry),
-                db.bow.vocab.k, C, max_candidates, hamming_cutoff,
-                prob_db=db.prob if use_prob else None,
-                prob_cutoff=prob_cutoff,
-                icp_inlier_m2=kw.get("inlier_m2", 1.0),
-                icp_min_inliers=kw.get("min_inliers", 25),
-                icp_max_avg_error=kw.get("max_avg_error", 0.9),
-            ))
+        fused = jax.device_get(closure_query_fused(
+            db.bow.vocab.centroids, db.bow.vocab.child_valid,
+            db.bow.vocab.weights, db.bow.vectors,
+            jnp.int32(query_kf), db.desc, db.p_cam, db.valid,
+            db.T_wc, jnp.int32(lo_b),
+            jnp.float32(search_radius_m2), jnp.int32(entry),
+            db.bow.vocab.k, C, max_candidates, hamming_cutoff,
+            prob_db=db.prob if use_prob else None,
+            prob_cutoff=prob_cutoff,
+            icp_inlier_m2=kw.get("inlier_m2", 1.0),
+            icp_min_inliers=kw.get("min_inliers", 25),
+            icp_max_avg_error=kw.get("max_avg_error", 0.9),
+        ))
         match_floor = floor if use_prob else min_matches
-        results = []
-        seen: set[int] = set()
-        for j in range(max_candidates):
-            c = int(cand[j])
-            if (not bool(okf[j]) or c in seen
-                    or int(n_matches[j]) < match_floor
-                    or not bool(icp_ok[j])):
-                continue
-            seen.add(c)
-            slots_q = np.nonzero(inl_mask[j])[0].astype(np.int32)
-            pairs = np.stack(
-                [slots_q, fwd[j][slots_q].astype(np.int32)], -1)
-            results.append(ClosureCandidate(
-                query_kf=query_kf, ref_kf=c, T_qr=T_qr[j],
-                inliers=int(inliers[j]), matches=int(n_matches[j]),
-                pairs=pairs,
-            ))
-        return results
+        return _decode_fused(query_kf, match_floor, max_candidates, fused)
     if db.index is not None:
         # host-side tree shortlist (native CBITree/DBoW2 analog): per-query-
         # descriptor best-leaf vote counts per keyframe — same score

@@ -56,6 +56,9 @@ class ClosureEdge:
     query_kf: int
     T_qr: np.ndarray
     accepted: bool = False
+    # near-duplicate of an already-accepted edge (same revisit event seen a
+    # few keyframes later): kept out of the consensus window and the graph
+    suppressed: bool = False
     # matched landmark identities (uid_query, uid_ref) of the ICP inliers —
     # the landmark-identity closure constraints (ref EdgePointXYZ with zero
     # measurement + fixed reference, Cg2oOptimizer.cpp:444-459)
@@ -111,7 +114,10 @@ class SLAMSystem(StereoTracker):
         native_index: bool = False,
         auto_vocab: bool = True,            # train the BoW shortlist in-run
         async_closure: bool = False,
-        overlap_backend: bool = False,
+        # False | True | "force": True auto-falls-back to synchronous when
+        # only one device is visible (overlap loses ~4x on a single chip);
+        # "force" keeps the worker thread unconditionally
+        overlap_backend: bool | str = False,
         graph_snapshot_dir: str | None = None,
     ):
         super().__init__(cam, params, use_gt_pose=use_gt_pose)
@@ -195,6 +201,22 @@ class SLAMSystem(StereoTracker):
         # when its snapshot was taken; the worker brings late events into
         # its own gauge with the cumulative correction products.
         self._bk_pool = None
+        if (overlap_backend and overlap_backend != "force"
+                and len(jax.devices()) == 1):
+            # single visible device: both threads' device work serializes,
+            # so overlap only adds queue/gauge overhead and measurably
+            # LOSES ~4x throughput (BENCH_r04: 8.0 fps overlap vs 32.2
+            # sync). Fall back so a single-chip user cannot accidentally
+            # pay that; overlap_backend='force' keeps the worker thread
+            # (e.g. for an explicit A/B measurement).
+            import warnings
+
+            warnings.warn(
+                "overlap_backend requested with a single visible device — "
+                "falling back to the synchronous back-end (overlap loses "
+                "~4x on one chip; pass overlap_backend='force' to keep "
+                "the worker thread)", stacklevel=2)
+            overlap_backend = False
         if overlap_backend:
             import queue as queue_mod
             from concurrent.futures import ThreadPoolExecutor
@@ -272,8 +294,17 @@ class SLAMSystem(StereoTracker):
             # plane alone is L x 256 bytes/frame) and keyframes are sparse
             kf_rows = np.nonzero(kf_mask)[0]
             sel = jnp.asarray(kf_rows, jnp.int32)
-            sn = jax.device_get(jax.tree_util.tree_map(
-                lambda x: jnp.take(x, sel, axis=0), snaps))
+            sn_dev = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, sel, axis=0), snaps)
+            # transfer everything EXCEPT the bit-probability plane — at
+            # [L, 256] u8 it is ~80% of the snapshot bytes and its only
+            # consumer is the closure DB's prob store, which now gathers
+            # it on device (db.add prob_device)
+            sn = jax.device_get({
+                f: getattr(sn_dev, f)
+                for f in ("uid", "active", "optimal", "tracked", "uv_left",
+                          "disparity", "pos_w", "desc")})
+            bitp_dev = sn_dev.bit_prob
             row_of = {int(r): j for j, r in enumerate(kf_rows)}
             if self._bk_pool is not None:
                 # overlapped mode: queue raw snapshots (tagged with the
@@ -286,39 +317,123 @@ class SLAMSystem(StereoTracker):
                     self._queue_keyframe_event(dict(
                         frame_idx=base + i,
                         T_wc=T_all[i].astype(np.float32),
-                        uid=sn.uid[j], active=sn.active[j],
-                        optimal=sn.optimal[j], tracked=sn.tracked[j],
-                        uv_left=sn.uv_left[j],
-                        disparity=sn.disparity[j],
-                        pos_w=sn.pos_w[j], desc=sn.desc[j],
+                        uid=sn["uid"][j], active=sn["active"][j],
+                        optimal=sn["optimal"][j], tracked=sn["tracked"][j],
+                        uv_left=sn["uv_left"][j],
+                        disparity=sn["disparity"][j],
+                        pos_w=sn["pos_w"][j], desc=sn["desc"][j],
                         instability=int(stacked.instability[i]),
-                        bit_prob=sn.bit_prob[j],
+                        bit_prob=bitp_dev[j],
+                        motion_scaling=self._kf_motion_scaling(base + i),
                     ))
             else:
                 self._corr_P = np.eye(4, dtype=np.float64)
                 self._corr_M = np.eye(4, dtype=np.float64)
+                deferred: list = []
                 for i in np.nonzero(kf_mask)[0]:
                     i = int(i)
                     j = row_of[i]
                     # apply the corrections accumulated from earlier
-                    # keyframes of this chunk to the raw snapshot
+                    # keyframes of this chunk to the raw snapshot (no-ops
+                    # on the deferred path, where the back-end only runs
+                    # after all chunk records exist — kept for the async-
+                    # closure path, which still folds inline per keyframe)
                     T_kf = (T_all[i].astype(np.float64) @ self._corr_M)
                     P = self._corr_P
-                    pos_w = sn.pos_w[j] @ P[:3, :3].T + P[:3, 3]
+                    pos_w = sn["pos_w"][j] @ P[:3, :3].T + P[:3, 3]
                     self._note_keyframe_pose(T_kf)
                     self._handle_keyframe(
                         frame_idx=base + i,
                         T_wc=T_kf.astype(np.float32),
-                        uid=sn.uid[j], active=sn.active[j],
-                        optimal=sn.optimal[j], tracked=sn.tracked[j],
-                        uv_left=sn.uv_left[j], disparity=sn.disparity[j],
-                        pos_w=pos_w.astype(np.float32), desc=sn.desc[j],
+                        uid=sn["uid"][j], active=sn["active"][j],
+                        optimal=sn["optimal"][j], tracked=sn["tracked"][j],
+                        uv_left=sn["uv_left"][j], disparity=sn["disparity"][j],
+                        pos_w=pos_w.astype(np.float32), desc=sn["desc"][j],
                         instability=int(stacked.instability[i]),
-                        bit_prob=sn.bit_prob[j],
+                        bit_prob=bitp_dev[j],
+                        motion_scaling=self._kf_motion_scaling(base + i),
+                        _defer=deferred,
                     )
-                    # anchor the recorded trajectory at the corrected pose
-                    self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+                    if not deferred:
+                        # async-closure path handled inline: anchor the
+                        # recorded trajectory at the corrected pose
+                        self.trajectory[base + i] = self.slam_keyframes[-1].T_wc
+                self._process_deferred_keyframes(deferred)
         return outs
+
+    def _process_deferred_keyframes(self, deferred: list) -> None:
+        """Chunk-batched keyframe tail (VERDICT r4 Next-2): ONE fused
+        closure-query dispatch + host read for ALL the chunk's keyframes,
+        then the per-keyframe consensus/cadence in order. Batching is safe
+        because the temporal exclusion (>= closure_exclude_recent
+        keyframes, ref CTrackerSV.h:84) exceeds any chunk's keyframe
+        count — chunk-mates can never be each other's references — and the
+        pose graph at a trigger now simply optimizes over every recorded
+        keyframe, chunk-mates included."""
+        if not deferred:
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if self.enable_loop_closure:
+            p = self.params
+            founds = closure_mod.find_closures_batch(
+                self.db, [kf.index for kf, _, _ in deferred],
+                min_matches=p.closure_min_matches,
+                min_relative=p.closure_min_relative_matches,
+                hamming_cutoff=p.closure_hamming_cutoff,
+                exclude_recent=p.closure_exclude_recent,
+                probabilistic=p.closure_probabilistic,
+                prob_cutoff=p.closure_prob_cutoff,
+                search_radius_m2=p.closure_search_radius_m2,
+                icp_kwargs=dict(
+                    inlier_m2=p.closure_icp_inlier_m,
+                    min_inliers=p.closure_icp_min_inliers,
+                    max_avg_error=p.closure_icp_max_error,
+                ),
+            )
+        else:
+            founds = [[] for _ in deferred]
+        t1 = _time.perf_counter()
+        for (kf, inst, ms), found in zip(deferred, founds):
+            if self.enable_loop_closure:
+                self._apply_found_closures(found, kf.index)
+            self._maybe_trigger_backend(inst, ms)
+            # anchor the recorded trajectory at the (possibly corrected)
+            # keyframe pose
+            self.trajectory[kf.frame_idx] = kf.T_wc
+        t2 = _time.perf_counter()
+        tm = self.timings
+        tm["kf_closure"] = tm.get("kf_closure", 0.0) + (t1 - t0)
+        tm["kf_backend"] = tm.get("kf_backend", 0.0) + (t2 - t1)
+        tm["kf_total"] = tm.get("kf_total", 0.0) + (t2 - t0)
+
+    @staticmethod
+    def _host_motion_scaling(T_prev: np.ndarray, T_cur: np.ndarray,
+                             cap: float) -> float:
+        """``min(1 + 10|w| + 0.5|t|, cap)`` of the frame delta
+        ``T_cur inv(T_prev)`` (ref CTrackerGT.cpp:157) from host trajectory
+        poses — the host-side twin of frontend.epipolar.motion_scaling."""
+        D = (np.asarray(T_cur, np.float64)
+             @ np.linalg.inv(np.asarray(T_prev, np.float64)))
+        c = (np.trace(D[:3, :3]) - 1.0) * 0.5
+        w = float(np.arccos(np.clip(c, -1.0, 1.0)))
+        t = float(np.linalg.norm(D[:3, 3]))
+        return float(min(1.0 + 10.0 * w + 0.5 * t, cap))
+
+    def _kf_motion_scaling(self, frame_idx: int) -> float:
+        """Two-frame motion-scaling average (ms + ms_last)/2 at a keyframe
+        (the quantity the reference's optimization veto tests,
+        CTrackerSV.cpp:431)."""
+        cap = self.params.motion_scaling_cap
+        traj = self.trajectory
+        f = frame_idx
+        if f < 1 or f >= len(traj):
+            return 1.0
+        ms = self._host_motion_scaling(traj[f - 1], traj[f], cap)
+        ms_last = (self._host_motion_scaling(traj[f - 2], traj[f - 1], cap)
+                   if f >= 2 else 1.0)
+        return 0.5 * (ms + ms_last)
 
     def _note_keyframe_pose(self, T_wc: np.ndarray) -> None:
         """Hook invoked once per chunk-mode keyframe, in order, just before
@@ -330,10 +445,13 @@ class SLAMSystem(StereoTracker):
     def _on_keyframe(self, out) -> None:
         t = self.state.table
         (T_wc, uid, active, optimal, failed, uv_left, disparity, pos_w, desc,
-         inst, bit_prob) = jax.device_get(
+         inst) = jax.device_get(
             (self.state.T_wc, t.uid, t.active, t.is_optimal, t.failed,
              t.uv_left_last, t.disparity_last, t.pos_w, t.desc_left_ref,
-             self.state.instability, lm_mod.bit_prob_u8(t)))
+             self.state.instability))
+        # the [L, 256] bit-probability plane stays on device (db.add
+        # prob_device gathers the pool rows there)
+        bit_prob = lm_mod.bit_prob_u8(t)
         payload = dict(
             frame_idx=self.frame_count - 1,
             T_wc=T_wc,
@@ -347,6 +465,7 @@ class SLAMSystem(StereoTracker):
             desc=desc,
             instability=int(inst),
             bit_prob=bit_prob,
+            motion_scaling=self._kf_motion_scaling(self.frame_count - 1),
         )
         if self._bk_pool is not None:
             self._queue_keyframe_event(payload)
@@ -528,10 +647,20 @@ class SLAMSystem(StereoTracker):
         uv_left: np.ndarray, disparity: np.ndarray, pos_w: np.ndarray,
         desc: np.ndarray, instability: int = 0,
         bit_prob: np.ndarray | None = None,
+        motion_scaling: float = 1.0,
+        _defer: list | None = None,
     ) -> None:
         """Keyframe event on explicit arrays (live table in per-frame mode,
         scan snapshots in chunk mode): record, DB add, closure search,
-        windowed BA."""
+        windowed BA.
+
+        Each stage accumulates wall time into ``self.timings`` (keys
+        ``kf_db_add`` / ``kf_closure`` / ``kf_backend`` / ``kf_total``) —
+        the real-run keyframe-tail profile the isolated stage bench cannot
+        give (VERDICT r4 Weak-5: ~80% of full-SLAM wall is this tail)."""
+        import time as _time
+
+        t_kf0 = _time.perf_counter()
         # observations for BA: landmarks tracked THIS frame (failed == 0)
         obs_sel = active & tracked
         uv4 = np.concatenate(
@@ -553,27 +682,60 @@ class SLAMSystem(StereoTracker):
         pool_sel = active & optimal
         R, tt = T_wc[:3, :3], T_wc[:3, 3]
         p_cam = pos_w[pool_sel] @ R.T + tt
-        self.db.add(desc[pool_sel], p_cam, T_wc,
-                    prob=None if bit_prob is None else bit_prob[pool_sel])
-
+        t0 = _time.perf_counter()
+        if bit_prob is None:
+            prob_kw = {}
+        elif isinstance(bit_prob, jax.Array):
+            # device path: the [L, 256] probability plane never crosses to
+            # host — the pool gather runs on device (db.add prob_device)
+            prob_kw = {"prob_device": (bit_prob, np.nonzero(pool_sel)[0])}
+        else:
+            prob_kw = {"prob": bit_prob[pool_sel]}
+        self.db.add(desc[pool_sel], p_cam, T_wc, **prob_kw)
+        t1 = _time.perf_counter()
+        tm = self.timings
+        tm["kf_db_add"] = tm.get("kf_db_add", 0.0) + (t1 - t0)
+        if _defer is not None and self._closure_pool is None:
+            # chunk mode: closure search + back-end cadence run batched
+            # over the whole chunk's keyframes after all records exist
+            # (_process_deferred_keyframes) — one fused query dispatch
+            # instead of one tunnel round trip per keyframe
+            _defer.append((kf, instability, motion_scaling))
+            tm["kf_total"] = tm.get("kf_total", 0.0) + (t1 - t_kf0)
+            return
         if self.enable_loop_closure:
             self._detect_closures(kf)
-        self._maybe_trigger_backend(instability)
+        t2 = _time.perf_counter()
+        self._maybe_trigger_backend(instability, motion_scaling)
+        t3 = _time.perf_counter()
+        tm["kf_closure"] = tm.get("kf_closure", 0.0) + (t2 - t1)
+        tm["kf_backend"] = tm.get("kf_backend", 0.0) + (t3 - t2)
+        tm["kf_total"] = tm.get("kf_total", 0.0) + (t3 - t_kf0)
 
-    def _maybe_trigger_backend(self, instability: int) -> None:
-        """Back-end cadence (ref CTrackerSV.cpp:430-451): instability
-        vetoes everything; otherwise ONE full optimization fires when the
-        keyframe-delta trigger or the closure waiting-queue trigger is
-        met, and the cheap windowed refinement keeps its own cadence."""
+    def _maybe_trigger_backend(self, instability: int,
+                               motion_scaling: float = 1.0) -> None:
+        """Back-end cadence (ref CTrackerSV.cpp:430-451): instability OR
+        high average motion scaling vetoes everything (the reference's
+        combined critical-situation check at :431,
+        ``m_dMaximumMotionScalingForOptimization > (ms+ms_last)/2 &&
+        0 == m_uCountInstability``); otherwise ONE full optimization fires
+        when the keyframe-delta trigger or the closure waiting-queue
+        trigger is met (both strict greater-than, matching :437), and the
+        cheap windowed refinement keeps its own cadence.
+
+        ``motion_scaling`` is the two-frame average (ms + ms_last)/2 the
+        caller computed from the host trajectory."""
         self._kf_since_local_ba += 1
         kf_id = len(self.slam_keyframes) - 1
         delta = self.params.optimize_every_keyframes
-        kf_trigger = (kf_id - self._last_opt_kf) >= delta
+        kf_trigger = (kf_id - self._last_opt_kf) > delta
         lc_trigger = (self._closure_kfs_in_queue > self.closure_queue_wait
-                      and (kf_id - self._last_closure_opt_kf) >= delta)
+                      and (kf_id - self._last_closure_opt_kf) > delta)
         due_local = (self.enable_local_ba and len(self.slam_keyframes) >= 2
                      and self._kf_since_local_ba >= self.local_ba_every)
-        if instability == 0:
+        calm = (instability == 0 and motion_scaling
+                < self.params.max_motion_scaling_for_optimization)
+        if calm:
             if kf_trigger or lc_trigger:
                 self._kf_since_local_ba = 0
                 self._run_queued_optimization()
@@ -597,13 +759,26 @@ class SLAMSystem(StereoTracker):
         self._snapshot_graph("pre")
         if had_closures:
             self._optimize_pose_graph()
+        ba_ok = True
         if self.enable_local_ba:
-            self._incremental_ba(lo=self._closure_opt_lo)
+            ba_ok = self._incremental_ba(lo=self._closure_opt_lo)
         self._snapshot_graph("post")
         if not self.enable_local_ba:
             # no BA stage to advance _last_opt_kf — advance it here so the
             # keyframe-delta trigger doesn't re-fire every keyframe
             self._last_opt_kf = len(self.slam_keyframes)
+        elif not ba_ok:
+            # BA bailed (under-constrained window / assembly failure): back
+            # off instead of re-firing the full attempt on every subsequent
+            # keyframe — a throughput cliff in exactly the degraded-tracking
+            # regimes where BA fails — and KEEP the queued closures so the
+            # next trigger retries the reconciliation BA never ran
+            self._last_opt_kf = len(self.slam_keyframes)
+            if had_closures:
+                self._last_closure_opt_kf = kf_id
+                self.stats["closure_opt_deferred"] = (
+                    self.stats.get("closure_opt_deferred", 0) + 1)
+            return
         if had_closures:
             self._last_closure_opt_kf = kf_id
         self._closure_kfs_in_queue = 0
@@ -617,6 +792,7 @@ class SLAMSystem(StereoTracker):
             min_matches=self.params.closure_min_matches,
             min_relative=self.params.closure_min_relative_matches,
             hamming_cutoff=self.params.closure_hamming_cutoff,
+            exclude_recent=self.params.closure_exclude_recent,
             probabilistic=self.params.closure_probabilistic,
             prob_cutoff=self.params.closure_prob_cutoff,
             search_radius_m2=self.params.closure_search_radius_m2,
@@ -657,9 +833,32 @@ class SLAMSystem(StereoTracker):
                 still.append((idx, fut))
         self._pending_closures = still
 
+    def _closure_redundant(self, ref_kf: int, query_kf: int,
+                           extra: list | None = None) -> bool:
+        """True when an accepted edge already covers this revisit event:
+        both endpoints within ``closure_dedup_radius_kf`` keyframes of an
+        accepted (or tentatively kept) edge. Redundant edges add pose-graph
+        rows and identity-merge work with no new information (VERDICT r4
+        Weak-1; the reference's per-keyframe single search + 20-keyframe
+        exclusion naturally thins these)."""
+        r = self.params.closure_dedup_radius_kf
+        if r < 0:
+            return False
+        for e in self.accepted_closures + (extra or []):
+            if abs(e.ref_kf - ref_kf) <= r and abs(e.query_kf - query_kf) <= r:
+                return True
+        return False
+
     def _apply_found_closures(self, found, kf_index: int) -> None:
         self.stats["closures_found"] += len(found)
         for c in found:
+            # near-duplicate suppression at arrival: skip candidates whose
+            # revisit span an accepted edge already covers (one edge per
+            # revisit event)
+            if self._closure_redundant(c.ref_kf, c.query_kf):
+                self.stats["closures_deduped"] = (
+                    self.stats.get("closures_deduped", 0) + 1)
+                continue
             # resolve matched pool slots to landmark uids (pool slot i of
             # keyframe k holds uid pool_uids[i] — same selection order as
             # db.add in _handle_keyframe)
@@ -677,7 +876,8 @@ class SLAMSystem(StereoTracker):
         # (ref ClosureBuffer + LoopClosureChecker, Cg2oOptimizer.cpp:267-325)
         window = [
             c for c in self.closure_candidates
-            if c.query_kf >= kf_index - self.consensus_window and not c.accepted
+            if c.query_kf >= kf_index - self.consensus_window
+            and not c.accepted and not c.suppressed
         ]
         if not window:
             return
@@ -703,6 +903,19 @@ class SLAMSystem(StereoTracker):
                 if a:
                     c.accepted = True
                     newly.append(c)
+        # acceptance-time dedup: a batch can accept several edges covering
+        # one revisit event, and a lingering window candidate can become
+        # redundant against an edge accepted after it arrived
+        kept = []
+        for c in newly:
+            if self._closure_redundant(c.ref_kf, c.query_kf, kept):
+                c.accepted = False
+                c.suppressed = True
+                self.stats["closures_deduped"] = (
+                    self.stats.get("closures_deduped", 0) + 1)
+            else:
+                kept.append(c)
+        newly = kept
         if newly:
             self.accepted_closures.extend(newly)
             self.stats["closures_accepted"] += len(newly)
@@ -805,9 +1018,12 @@ class SLAMSystem(StereoTracker):
     def _optimize_pose_graph(self) -> None:
         """Trajectory-only relaxation over ALL keyframes + accepted closures
         (the reference's trajectory graph, Cg2oOptimizer.cpp:342-377)."""
+        import time as _time
+
         N0 = len(self.slam_keyframes)
         if N0 < 2:
             return
+        t_pg0 = _time.perf_counter()
         T0 = np.stack([k.T_wc for k in self.slam_keyframes]).astype(np.float64)
         # sequential odometry edges, batched (ref info scaling
         # Cg2oOptimizer.cpp:1258-1266)
@@ -851,6 +1067,13 @@ class SLAMSystem(StereoTracker):
             gravity=self._gravity_priors(N0, N))
         T_opt = np.asarray(res.T_wc)[:N0]
         self.stats["pose_graph_runs"] += 1
+        # last-run wall + graph size: the scale-cost evidence the endurance
+        # bench reports (dense [6N,6N] Cholesky cost grows with keyframes)
+        dt_pg = _time.perf_counter() - t_pg0
+        self.timings["pose_graph_last_s"] = dt_pg
+        self.timings["pose_graph_last_n"] = float(N0)
+        self.timings["kf_pose_graph"] = (
+            self.timings.get("kf_pose_graph", 0.0) + dt_pg)
         if not np.isfinite(T_opt).all() or float(res.chi2_final) > float(res.chi2_initial):
             self.stats["pose_graph_rejected"] = self.stats.get("pose_graph_rejected", 0) + 1
             return
@@ -1023,7 +1246,7 @@ class SLAMSystem(StereoTracker):
             return
         self._run_ba(kfs, self.ba_window, max_chunks=1, correction_cap=0.5)
 
-    def _incremental_ba(self, lo: int | None = None) -> None:
+    def _incremental_ba(self, lo: int | None = None) -> bool:
         """Incremental full-graph BA: optimize from the last-optimized
         keyframe forward over the growing graph, LM chunks of 10 until the
         chi^2 gain drops below 1%, then excise insane landmarks
@@ -1041,18 +1264,33 @@ class SLAMSystem(StereoTracker):
             start = min(start, lo)
         kfs = self.slam_keyframes[start:]
         if len(kfs) < 2:
-            return
+            return False
         K = self._bucket(len(kfs), 8)
         ok = self._run_ba(kfs, K, max_chunks=10, correction_cap=None,
                           excise=True)
         if ok:
             self._last_opt_kf = n
+        return ok
 
     def _run_ba(self, kfs, K: int, *, max_chunks: int,
                 correction_cap: float | None, excise: bool = False) -> bool:
         """Shared BA driver: assemble, LM chunks of 10 with the <1% chi^2
         stopping rule across chunks (ref Cg2oOptimizer.cpp:954-980),
         gates, write-back, optional insane-landmark excision."""
+        import time as _time
+
+        t_ba0 = _time.perf_counter()
+        try:
+            return self._run_ba_inner(kfs, K, max_chunks=max_chunks,
+                                      correction_cap=correction_cap,
+                                      excise=excise)
+        finally:
+            self.timings["kf_ba"] = (self.timings.get("kf_ba", 0.0)
+                                     + _time.perf_counter() - t_ba0)
+
+    def _run_ba_inner(self, kfs, K: int, *, max_chunks: int,
+                      correction_cap: float | None,
+                      excise: bool = False) -> bool:
         K0 = len(kfs)
         asm = self._assemble_ba_window(kfs, K)
         if asm is None:
@@ -1078,17 +1316,11 @@ class SLAMSystem(StereoTracker):
             min_far_disparity=self.params.ba_min_far_disparity_px,
             depth_weighting=self.params.ba_depth_weighting,
         )
-        # one small fused host read for the bookkeeping scalars + mask
-        mask, n_gated, n_reinit, n_obs_left = jax.device_get(
-            (prep.mask, prep.n_gated, prep.n_reinit, prep.n_obs))
-        if int(n_reinit):
-            self.stats["landmarks_reinit"] = (
-                self.stats.get("landmarks_reinit", 0) + int(n_reinit))
-        if int(n_gated):
-            self.stats["obs_depth_gated"] = (
-                self.stats.get("obs_depth_gated", 0) + int(n_gated))
-        if int(n_obs_left) < 24:
-            return False
+        # NOTE: no blocking read here — the prep outputs ride along with
+        # the solve outputs in the single fused device_get below. The rare
+        # under-constrained window (n_obs < 24) wastes one solve DISPATCH,
+        # but a dispatch without a sync is ~free next to the ~26 ms round
+        # trip the separate read used to cost (r4 utilization evidence).
 
         # pose-pose odometry chain anchored to the CURRENT (post-pose-graph)
         # keyframe chain, information 1e5/(1 + |dt|^2) as in the reference
@@ -1113,32 +1345,56 @@ class SLAMSystem(StereoTracker):
         if grav is not None:
             grav_kw = dict(grav_d=jnp.asarray(grav[0], jnp.float32),
                            grav_w=jnp.asarray(grav[1], jnp.float32))
-        chi2_init = None
-        chi2_prev = None
-        for _ in range(max_chunks):
-            res = ba_mod.bundle_adjust(
-                T_cur, X_cur, obs_j, mask_j, self.cam, fix_j,
-                kernel_px2=self.params.posit_kernel_px2,
-                max_iterations=10,
-                odo_M=odo_Mj, odo_w=odo_wj, obs_w=prep.obs_w, **grav_kw,
-            )
-            # one device->host round trip per chunk
-            c0, chi2_new = jax.device_get((res.chi2_initial, res.chi2_final))
-            if chi2_init is None:
-                chi2_init = chi2_prev = float(c0)
-            chi2_new = float(chi2_new)
-            if not np.isfinite(chi2_new) or chi2_new > chi2_prev:
-                break
-            T_cur, X_cur = res.T_wc, res.points_w
-            gain = (chi2_prev - chi2_new) / max(chi2_prev, 1e-12)
-            chi2_prev = chi2_new
-            if gain < 0.01:
-                break
+        # ONE dispatch for the whole optimization (r5, after the r4
+        # utilization evidence that every back-end stage is DISPATCH-bound
+        # — sync round trip ~26 ms vs ~1.5 ms device time): the former
+        # host loop of `max_chunks` x 10-iteration calls paid one blocking
+        # scalar read per chunk purely to re-apply stopping rules the LM
+        # loop already enforces on device — accept/reject guarantees
+        # monotone chi^2 and `min_rel_improvement` IS the reference's <1%
+        # stop (Cg2oOptimizer.cpp:966-977) — so chunks collapse into one
+        # while_loop with the same iteration budget, and the chi^2 scalars
+        # ride along with the pose/point read (ONE round trip total).
+        res = ba_mod.bundle_adjust(
+            T_cur, X_cur, obs_j, mask_j, self.cam, fix_j,
+            kernel_px2=self.params.posit_kernel_px2,
+            max_iterations=10 * max_chunks,
+            min_rel_improvement=0.01,
+            odo_M=odo_Mj, odo_w=odo_wj, obs_w=prep.obs_w, **grav_kw,
+        )
         self.stats["ba_runs"] += 1
-        if chi2_init is None or chi2_prev > chi2_init:
+        # excision stats dispatch BEFORE the sync so it pipelines behind
+        # the solve (no host round trip between them)
+        fetch = [prep.mask, prep.n_gated, prep.n_reinit, prep.n_obs,
+                 res.chi2_initial, res.chi2_final, res.T_wc, res.points_w]
+        if excise:
+            fetch += list(ba_mod.reprojection_stats(
+                res.T_wc[:K0], res.points_w, obs_j[:K0], mask_j[:K0],
+                self.cam))
+        fetched = jax.device_get(tuple(fetch))    # the ONE round trip
+        (mask, n_gated, n_reinit, n_obs_left,
+         chi2_init, chi2_prev, T_opt, X_opt) = fetched[:8]
+        if int(n_reinit):
+            self.stats["landmarks_reinit"] = (
+                self.stats.get("landmarks_reinit", 0) + int(n_reinit))
+        if int(n_gated):
+            self.stats["obs_depth_gated"] = (
+                self.stats.get("obs_depth_gated", 0) + int(n_gated))
+        if int(n_obs_left) < 24:
             return False
-
-        T_opt, X_opt = jax.device_get((T_cur, X_cur))
+        chi2_init, chi2_prev = float(chi2_init), float(chi2_prev)
+        if not np.isfinite(chi2_prev) or chi2_prev > chi2_init:
+            return False
+        if chi2_prev > 0.999 * chi2_init:
+            # no-op optimization (every LM step rejected / nothing to gain):
+            # do NOT write back. The write-back clears the window landmarks'
+            # measurement rings (the reference clears histories because
+            # optimization CHANGED the landmark, CLandmark.cpp:299) — doing
+            # that after a zero-gain solve strips the per-frame landmark GN
+            # of its measurements for nothing, and measurably destabilizes
+            # tracking under sparse keyframe spacing (r5: the endurance loop
+            # collapsed ~60 frames after exactly one no-op local BA).
+            return True
         T_opt = T_opt[:K0]
         T0 = T0[:K0]
         # sanity gate on the correction magnitude (the BA analog of the
@@ -1156,9 +1412,7 @@ class SLAMSystem(StereoTracker):
         # land behind an observing camera, leave the map
         bad = np.zeros(X_opt.shape[0], bool)
         if excise:
-            err2, depth = jax.device_get(ba_mod.reprojection_stats(
-                jnp.asarray(T_opt), jnp.asarray(X_opt),
-                obs_j[:K0], mask_j[:K0], self.cam))
+            err2, depth = fetched[8], fetched[9]
             seen = mask[:K0].any(0)
             bad = seen & ((err2 > 4.0 * self.params.posit_kernel_px2)
                           | (depth < 0.01))

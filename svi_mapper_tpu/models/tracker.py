@@ -129,11 +129,28 @@ class StereoTracker:
     def _maybe_world_shift(self) -> None:
         if self.world_shift_threshold_m is None:
             return
-        T = np.asarray(self.state.T_wc, np.float64)
+        # read the latest recorded pose instead of the live device state:
+        # in chunk mode the trajectory entry is already host-resident, so
+        # the threshold check costs no device round trip (the entry can lag
+        # the live pose by at most one back-end correction — immaterial
+        # against a hundreds-of-meters threshold). The live state is read
+        # only when the shift actually fires (inside _world_shift).
+        T_last = self.trajectory[-1] if self.trajectory else self.state.T_wc
+        T = np.asarray(T_last, np.float64)
         c = -T[:3, :3].T @ T[:3, 3]              # camera center (internal)
+        if not np.isfinite(c).all():
+            # catastrophic tracking loss: rebasing about a NaN/inf center
+            # would contaminate the ENTIRE recorded trajectory (every entry
+            # is right-multiplied by the shift) — keep the frame, skip the
+            # shift, let the lost-track machinery handle recovery
+            return
         if np.linalg.norm(c) <= self.world_shift_threshold_m:
             return
-        self._world_shift(c)
+        # rebase about the LIVE pose's center (exact, one read — rare)
+        T_live = np.asarray(self.state.T_wc, np.float64)
+        c_live = -T_live[:3, :3].T @ T_live[:3, 3]
+        if np.isfinite(c_live).all():
+            self._world_shift(c_live)
 
     def _world_shift(self, c: np.ndarray) -> None:
         """Rebase the internal world origin to ``c``: p_int' = p_int - c,

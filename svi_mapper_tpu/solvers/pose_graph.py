@@ -144,7 +144,12 @@ def optimize_pose_graph(
     def gn_step(carry):
         T, it, delta = carry
         r = _edge_residuals(T, edges)                            # [E,6]
-        err2 = jnp.sum(r * r, axis=-1)
+        # robust kernel on the info-weighted residual r^T Omega r (g2o
+        # semantics; Omega here = diag(i6) without the edge weight so the
+        # kernel cutoff stays comparable across edges): a z-damped closure
+        # edge with large optical-axis error keeps its well-conditioned
+        # x/y information instead of tripping the cutoff.
+        err2 = jnp.sum(i6 * r * r, axis=-1)
         rob = jnp.where(err2 > robust_delta,
                         robust_delta / jnp.maximum(err2, 1e-12), 1.0)
         w6 = w6_base * rob[:, None]                              # [E,6]

@@ -11,8 +11,11 @@ from svi_mapper_tpu.config import DEFAULT_PARAMS
 from svi_mapper_tpu.io.synthetic import SyntheticSequence
 from svi_mapper_tpu.models.slam import SLAMSystem
 
+# circular-loop world overrides (see tests/test_slam.py PARAMS rationale)
 PARAMS = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512,
-                             max_detections=512)
+                             max_detections=512,
+                             closure_exclude_recent=10,
+                             max_motion_scaling_for_optimization=2.5)
 
 
 @pytest.fixture(scope="module")

@@ -343,6 +343,41 @@ def test_find_closures_end_to_end(rng):
     assert c.inliers >= 90
 
 
+def test_find_closures_batch_matches_sequential(rng):
+    """The chunk-batched query (one vmapped dispatch for all of a chunk's
+    keyframes, r5) must return exactly what per-keyframe find_closures
+    returns for the same queries."""
+    db = closure.KeyframeDatabase.create(capacity=32, pool_size=128)
+    world_pts = make_world(rng, 100)
+    desc_shared = _fake_pool(rng, 100)
+    db.add(desc_shared, world_pts, np.eye(4, dtype=np.float32))
+    for k in range(11):
+        db.add(_fake_pool(rng, 100), make_world(rng, 100), np.eye(4))
+    T12 = np.asarray(se3.exp_se3(
+        jnp.asarray([0.5, 0.1, 1.0, 0.02, 0.3, 0.01], jnp.float32)))
+    p_cam_12 = np.asarray(se3.transform(jnp.asarray(T12),
+                                        jnp.asarray(world_pts)))
+    db.add(desc_shared, p_cam_12, T12)
+    db.add(_fake_pool(rng, 100), make_world(rng, 100), np.eye(4))
+
+    queries = [11, 12, 13]
+    seq_results = [closure.find_closures(db, q, exclude_recent=2)
+                   for q in queries]
+    batch_results = closure.find_closures_batch(db, queries,
+                                                exclude_recent=2)
+    assert len(batch_results) == len(queries)
+    for seq_r, bat_r in zip(seq_results, batch_results):
+        assert len(seq_r) == len(bat_r)
+        for a, b in zip(seq_r, bat_r):
+            assert (a.query_kf, a.ref_kf) == (b.query_kf, b.ref_kf)
+            assert a.matches == b.matches
+            assert a.inliers == b.inliers
+            assert np.allclose(a.T_qr, b.T_qr, atol=1e-5)
+            assert np.array_equal(a.pairs, b.pairs)
+    # the revisit query found its closure through the batched path
+    assert len(batch_results[1]) == 1 and batch_results[1][0].ref_kf == 0
+
+
 def test_consensus_filters_bad_closures(rng):
     """Two agreeing closures + one inconsistent one: consensus keeps the
     agreeing pair (ref LoopClosureChecker semantics)."""

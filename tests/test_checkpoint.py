@@ -120,6 +120,67 @@ def test_checkpoint_svi_roundtrip(tmp_path):
     assert tr2.frame_count == tr.frame_count + 1
 
 
+def test_checkpoint_mid_closure_queue(tmp_path):
+    """VERDICT r4 Weak-3: a checkpoint taken with closures QUEUED (trigger
+    not yet fired) must resume with the pending reconciliation intact —
+    finalize_backend() after reload produces the same optimized keyframe
+    chain as the uninterrupted run, and restored edges keep uid_pairs."""
+    from svi_mapper_tpu.models.slam import ClosureEdge, SLAMKeyframe
+
+    def build():
+        seq = SyntheticSequence(n_frames=2, width=128, height=96)
+        s = SLAMSystem(seq.cam, PARAMS, enable_local_ba=False,
+                       enable_loop_closure=True)
+        # fabricated drifting loop: 12 keyframes walking +z with a small
+        # per-step drift in x; the closure says kf11 coincides with kf0
+        for k in range(12):
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = 0.05 * k          # accumulated drift
+            T[2, 3] = -(k % 6)          # out and back
+            s.slam_keyframes.append(SLAMKeyframe(
+                index=k, frame_idx=4 * k, T_wc=T,
+                obs_uids=np.zeros(0, np.int64),
+                obs_uv4=np.zeros((0, 4), np.float32),
+                pool_uids=np.zeros(0, np.int64)))
+        edge = ClosureEdge(
+            ref_kf=0, query_kf=11, T_qr=np.eye(4, dtype=np.float32),
+            accepted=True,
+            uid_pairs=np.array([[7, 3], [9, 4]], np.int64))
+        s.accepted_closures.append(edge)
+        s.closure_candidates.append(edge)
+        s._closure_kfs_in_queue = 2     # trigger pending, not yet fired
+        s._closure_opt_lo = 0
+        s._last_closure_opt_kf = 1
+        s._kf_since_local_ba = 3
+        return s
+
+    # uninterrupted: finalize drains the queue and runs the pose graph
+    ref = build()
+    ref.finalize_backend()
+    assert ref.stats["pose_graph_runs"] == 1
+    T_ref = np.stack([k.T_wc for k in ref.slam_keyframes])
+
+    # interrupted: save mid-queue, reload, then finalize
+    s = build()
+    path = tmp_path / "midq.npz"
+    save_checkpoint(path, s)
+    s2 = load_checkpoint(path)
+    assert s2._closure_kfs_in_queue == 2
+    assert s2._closure_opt_lo == 0
+    assert s2._last_closure_opt_kf == 1
+    assert s2._kf_since_local_ba == 3
+    assert len(s2.accepted_closures) == 1
+    assert np.array_equal(s2.accepted_closures[0].uid_pairs,
+                          np.array([[7, 3], [9, 4]], np.int64))
+    assert s2.accepted_closures[0].suppressed is False
+    s2.finalize_backend()
+    assert s2.stats["pose_graph_runs"] == 1
+    T_resumed = np.stack([k.T_wc for k in s2.slam_keyframes])
+    assert np.allclose(T_resumed, T_ref, atol=1e-5)
+    # the queue drained on both sides
+    assert s2._closure_kfs_in_queue == 0 and ref._closure_kfs_in_queue == 0
+
+
 def test_checkpoint_rejects_future_version(tmp_path):
     seq = SyntheticSequence(n_frames=2, width=128, height=96)
     tr = StereoTracker(seq.cam, PARAMS)

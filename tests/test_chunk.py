@@ -97,7 +97,9 @@ def test_chunk_slam_runs_backend_on_loop():
                             trajectory="loop", loop_radius=12.0)
     params = dataclasses.replace(
         DEFAULT_PARAMS, max_landmarks=512, max_detections=512,
-        keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02)
+        keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
+        # circular-loop world (see tests/test_slam.py PARAMS rationale)
+        closure_exclude_recent=10, max_motion_scaling_for_optimization=2.5)
     slam = SLAMSystem(seq.cam, params)
     frames = list(seq)
     L = np.stack([np.asarray(f[0]) for f in frames])

@@ -53,14 +53,21 @@ def test_slam_writes_snapshots(tmp_path):
     from svi_mapper_tpu.io.synthetic import SyntheticSequence
     from svi_mapper_tpu.models.slam import SLAMSystem
 
+    # circular-loop world overrides (see tests/test_slam.py PARAMS rationale)
     params = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512,
-                                 max_detections=512)
+                                 max_detections=512,
+                                 closure_exclude_recent=10,
+                                 max_motion_scaling_for_optimization=2.5)
     seq = SyntheticSequence(n_frames=120, width=512, height=256,
                             trajectory="loop", loop_radius=12.0)
     s = SLAMSystem(seq.cam, params, enable_local_ba=False,
                    graph_snapshot_dir=tmp_path / "g2o")
     for (L, R, _) in seq:
         s.process(L, R)
+    # the strict >20-keyframe reference cadence (CTrackerSV.cpp:437) can
+    # leave the last closures queued on a short run — the end-of-stream
+    # drain runs the optimization (and writes its snapshots)
+    s.finalize_backend()
     assert s.stats["closures_accepted"] >= 1
     snaps = sorted((tmp_path / "g2o").glob("*.g2o"))
     assert len(snaps) >= 2          # pre + post per optimization

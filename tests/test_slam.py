@@ -10,7 +10,17 @@ from svi_mapper_tpu.eval import trajectory as ev
 from svi_mapper_tpu.io.synthetic import SyntheticSequence
 from svi_mapper_tpu.models.slam import SLAMSystem
 
-PARAMS = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512, max_detections=512)
+# Synthetic-world overrides: the 12 m / 120-frame circular loop turns
+# continuously (~0.06 rad + 0.7 m per frame -> motion scaling ~2.0), so the
+# reference's KITTI-calibrated optimization veto (1.5, CTrackerSV.h:72 —
+# straight KITTI driving sits at ~1.4 and turns veto) would block the WHOLE
+# back-end in a world with no straights; and the revisit spans only ~3
+# keyframes past the reference's 20-keyframe temporal exclusion, so the
+# miniature world keeps the pre-r5 exclusion of 10.
+PARAMS = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512,
+                             max_detections=512,
+                             closure_exclude_recent=10,
+                             max_motion_scaling_for_optimization=2.5)
 
 
 @pytest.fixture(scope="module")

@@ -233,7 +233,11 @@ def test_loop_closure_recall_under_stress():
     Rs = np.stack([f[1] for f in frames])
     Ts = np.stack([f[2] for f in frames])
 
-    s = SLAMSystem(seq.cam, DEFAULT_PARAMS, enable_local_ba=True,
+    # circular-loop world overrides (see tests/test_slam.py PARAMS rationale)
+    loop_params = dataclasses.replace(
+        DEFAULT_PARAMS, closure_exclude_recent=10,
+        max_motion_scaling_for_optimization=2.5)
+    s = SLAMSystem(seq.cam, loop_params, enable_local_ba=True,
                    enable_loop_closure=True)
     s.process_many(Ls, Rs, chunk=16)
     s.flush_closures()

@@ -87,6 +87,56 @@ def test_perturb_pose_is_rigid():
     assert not np.allclose(out, T)
 
 
+def test_acceptance_cli_end_to_end(tmp_path):
+    """The real-data acceptance harness (VERDICT r4 Next-8) runs a KITTI
+    tree end-to-end and exits 0 when its gates pass / 1 when they fail."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    seq_dir = tmp_path / "sequences" / "00"
+    (seq_dir / "image_0").mkdir(parents=True)
+    (seq_dir / "image_1").mkdir(parents=True)
+    n = 6
+    base = (rng.random((64, 160)) * 255).astype(np.uint8)
+    for i in range(n):
+        # shift the texture so there is real apparent motion to track
+        img = np.roll(base, -3 * i, axis=1)
+        cv2.imwrite(str(seq_dir / "image_0" / f"{i:06d}.png"), img)
+        cv2.imwrite(str(seq_dir / "image_1" / f"{i:06d}.png"),
+                    np.roll(img, 5, axis=1))
+    (seq_dir / "times.txt").write_text(
+        "\n".join(str(0.1 * i) for i in range(n)) + "\n")
+    (seq_dir / "calib.txt").write_text(
+        "P0: 100 0 80 0 0 100 32 0 0 0 1 0\n"
+        "P1: 100 0 80 -54 0 100 32 0 0 0 1 0\n")
+    poses = tmp_path / "poses"; poses.mkdir()
+    lines = []
+    for i in range(n):
+        T = np.eye(4); T[2, 3] = 0.3 * i
+        lines.append(" ".join(str(x) for x in T[:3].reshape(-1)))
+    (poses / "00.txt").write_text("\n".join(lines) + "\n")
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    # permissive gates -> PASS (exit 0)
+    r = subprocess.run(
+        [sys.executable, "-m", "svi_mapper_tpu.tools.acceptance",
+         str(tmp_path), "--cpu", "--min-closures", "0", "--min-fps", "0",
+         "--max-ate", "1e9", "--max-rel", "1e9", "--chunk", "3",
+         "--landmarks", "128"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ACCEPTANCE PASSED" in r.stdout
+    # an unreachable gate -> FAIL (exit 1)
+    r = subprocess.run(
+        [sys.executable, "-m", "svi_mapper_tpu.tools.acceptance",
+         str(tmp_path), "--cpu", "--min-closures", "99", "--min-fps", "0",
+         "--max-ate", "1e9", "--max-rel", "1e9", "--chunk", "3",
+         "--landmarks", "128"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "ACCEPTANCE FAILED" in r.stdout
+
+
 def test_triangulation_sampling_cli_passes():
     r = subprocess.run(
         [sys.executable, "-m", "svi_mapper_tpu.tools.triangulation_sampling",
