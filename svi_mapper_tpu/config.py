@@ -233,6 +233,17 @@ class TrackingParams:
     # per-snapshot descriptors past the exact cutoff between revisits.
     closure_probabilistic: bool = True
     closure_prob_cutoff: float = 50.0
+    # DBoW2 direct-index restriction on closure correspondence matching
+    # (DBOW2_ID_LEVELS = 2, CTrackerGT.cpp:38-39; consumed via the
+    # database's per-node feature lists at :248-250): >0 requires matched
+    # descriptor pairs to share their vocabulary node at that tree level,
+    # implemented as a node-equality mask on the dense Hamming matrix
+    # (mapping.vocabulary.node_ids). Default OFF: on TPU the exact
+    # all-pairs match is already one fused dispatch, so the index is a
+    # precision knob (prunes cross-node coincidental Hamming hits) rather
+    # than the CPU reference's lookup accelerator; enabling it trades
+    # closure recall for precision.
+    closure_direct_index_levels: int = 0
     # temporal exclusion: a query may only close against keyframes at least
     # this many keyframes older (ref m_uMinimumLoopClosingKeyFrameDistance
     # = 20, CTrackerSV.h:84)

@@ -196,10 +196,12 @@ def build_vocabulary(
 # lookup + BoW vectors
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _descend(centroids: tuple, child_valid: tuple, desc: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "levels"))
+def _descend(centroids: tuple, child_valid: tuple, desc: jax.Array, k: int,
+             levels: int | None = None):
     node = jnp.zeros(desc.shape[0], jnp.int32)
-    for cent, cv in zip(centroids, child_valid):
+    stop = len(centroids) if levels is None else levels
+    for cent, cv in zip(centroids[:stop], child_valid[:stop]):
         a = _assign(desc, node, cent, cv)
         node = node * k + a
     return node
@@ -209,6 +211,22 @@ def word_ids(vocab: Vocabulary, desc: jax.Array) -> jax.Array:
     """Vectorized tree descent: packed descriptors ``[M, 8]`` -> word ids
     [M] (one fused dispatch)."""
     return _descend(vocab.centroids, vocab.child_valid, desc, vocab.k)
+
+
+def node_ids(vocab: Vocabulary, desc: jax.Array, levels: int) -> jax.Array:
+    """Vocabulary-node ids at tree level ``levels`` for each descriptor
+    ``[M, 8]`` -> ``[M]`` int32.
+
+    The direct-index key of DBoW2 (``DBOW2_ID_LEVELS 2``, set by the
+    reference at CTrackerGT.cpp:38-39 and consumed via the database's
+    per-node feature lists at :248-250): two features are correspondence
+    candidates iff their descriptors descend through the same vocabulary
+    node at this level. Here the inverted per-node feature lists become a
+    per-descriptor node-id vector, and 'sharing a node' becomes an
+    equality mask on the dense [P, P] Hamming matrix — the TPU-shaped
+    direct index (no pointer-chased lists; one extra descent dispatch)."""
+    return _descend(vocab.centroids, vocab.child_valid, desc, vocab.k,
+                    levels=min(levels, vocab.levels))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

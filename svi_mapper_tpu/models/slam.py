@@ -386,6 +386,7 @@ class SLAMSystem(StereoTracker):
                 probabilistic=p.closure_probabilistic,
                 prob_cutoff=p.closure_prob_cutoff,
                 search_radius_m2=p.closure_search_radius_m2,
+                direct_index_levels=p.closure_direct_index_levels,
                 icp_kwargs=dict(
                     inlier_m2=p.closure_icp_inlier_m,
                     min_inliers=p.closure_icp_min_inliers,
@@ -796,6 +797,7 @@ class SLAMSystem(StereoTracker):
             probabilistic=self.params.closure_probabilistic,
             prob_cutoff=self.params.closure_prob_cutoff,
             search_radius_m2=self.params.closure_search_radius_m2,
+            direct_index_levels=self.params.closure_direct_index_levels,
             icp_kwargs=dict(
                 inlier_m2=self.params.closure_icp_inlier_m,
                 min_inliers=self.params.closure_icp_min_inliers,

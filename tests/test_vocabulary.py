@@ -130,3 +130,64 @@ def test_find_closures_with_bow_shortlist(rng):
     assert found[0].ref_kf == 0
     T_expected = T12 @ np.linalg.inv(T0)
     assert np.abs(found[0].T_qr - T_expected).max() < 0.02
+
+    # DBoW2 direct-index restriction (DBOW2_ID_LEVELS,
+    # CTrackerGT.cpp:38-39,248-250): identical revisit descriptors share
+    # their vocabulary nodes by construction, so the SAME closure must
+    # survive with the node-equality mask on — and with no fewer than the
+    # ICP minimum inliers.
+    found_di = closure.find_closures(db, 12, exclude_recent=2,
+                                     direct_index_levels=2)
+    assert len(found_di) == 1
+    assert found_di[0].ref_kf == 0
+    assert np.abs(found_di[0].T_qr - T_expected).max() < 0.02
+    # the restriction can only remove correspondences, never add them
+    assert found_di[0].matches <= found[0].matches
+
+
+def test_node_ids_are_word_id_prefixes(trained):
+    """node_ids at level L is the depth-L ancestor of the full descent:
+    word_id // k**(levels-L) (the defining property of DBoW2's direct
+    index — features under one node share the word-id prefix)."""
+    vocab, desc, _, _, _ = trained
+    words = np.asarray(voc.word_ids(vocab, jnp.asarray(desc)))
+    for L in (1, 2):
+        nodes = np.asarray(voc.node_ids(vocab, jnp.asarray(desc), L))
+        np.testing.assert_array_equal(
+            nodes, words // vocab.k ** (vocab.levels - L))
+    # clamped at the vocabulary depth
+    nodes_full = np.asarray(voc.node_ids(vocab, jnp.asarray(desc), 99))
+    np.testing.assert_array_equal(nodes_full, words)
+
+
+def test_direct_index_mask_restricts_match_pools(trained, rng):
+    """match_pools with node ids: the match set is a subset of the
+    unrestricted one and every surviving pair shares its vocabulary node."""
+    vocab, _, _, _, _ = trained
+    P = 64
+    desc_q = _pool(rng, P)
+    # reference pool = query pool bit-flipped a little (within cutoff) so
+    # unrestricted matching links slot i to slot i
+    desc_r = desc_q.copy()
+    for i in range(P):
+        b = int(rng.integers(0, 256))
+        desc_r[i, b // 32] ^= np.uint32(1 << (b % 32))
+    p_q = rng.normal(size=(P, 3)).astype(np.float32)
+    p_r = p_q + 0.01
+    valid = np.ones(P, bool)
+    nq = voc.node_ids(vocab, jnp.asarray(desc_q), 2)
+    nr = voc.node_ids(vocab, jnp.asarray(desc_r), 2)
+
+    _, _, ok0, fwd0 = closure.match_pools(
+        jnp.asarray(desc_q), jnp.asarray(p_q), jnp.asarray(valid),
+        jnp.asarray(desc_r), jnp.asarray(p_r), jnp.asarray(valid))
+    _, _, ok1, fwd1 = closure.match_pools(
+        jnp.asarray(desc_q), jnp.asarray(p_q), jnp.asarray(valid),
+        jnp.asarray(desc_r), jnp.asarray(p_r), jnp.asarray(valid),
+        node_q=nq, node_r=nr)
+    ok0, ok1 = np.asarray(ok0), np.asarray(ok1)
+    fwd1 = np.asarray(fwd1)
+    nq, nr = np.asarray(nq), np.asarray(nr)
+    assert ok1.sum() > 0                      # 1-bit flips keep most nodes
+    assert not np.any(ok1 & ~ok0)             # subset of the unrestricted set
+    assert np.all(nq[ok1] == nr[fwd1[ok1]])   # pairs share their node
