@@ -266,8 +266,15 @@ def bench_endurance(quick: bool) -> dict:
         n_frames, frames_per_loop, radius = 256, 181, 26.0
     else:
         n_frames, frames_per_loop, radius = 2048, 849, 108.0
+    # ring_world: the default corridor world ends at |x| = 60 m, so the
+    # 216 m-diameter endurance circle would leave it and starve the
+    # tracker (measured r5: collapse at the first-quartile boundary with
+    # black frames) — the annular circuit world contains the loop
+    from svi_mapper_tpu.io.synthetic import ring_world
+
     seq = SyntheticSequence(n_frames=n_frames, width=1241, height=376,
-                            trajectory="loop", loop_radius=radius)
+                            trajectory="loop", loop_radius=radius,
+                            world=ring_world(radius))
     seq.poses_wc = loop_trajectory(n_frames, radius,
                                    frames_per_loop=frames_per_loop)
 
@@ -279,11 +286,17 @@ def bench_endurance(quick: bool) -> dict:
         # maximize the graph-size stress this scenario exists to measure)
         keyframe_translation_m2=4.0, keyframe_rotation_rad2=0.02,
         max_motion_scaling_for_optimization=2.5,   # all-turn world (above)
-        # multi-lap drift accumulates laterally over an 850-frame lap;
-        # the reference's 5 m radius gate (CTrackerSV.h:89) is calibrated
-        # to its closure-corrected drift — at this endurance scale the
-        # gate widens to 10 m so revisits stay inside it
-        closure_search_radius_m2=100.0,
+        # multi-lap drift accumulates over an 849-frame / ~680 m lap with
+        # NO closure opportunity until the second lap: measured raw-VO
+        # drift on this geometry is ~3.8% of distance (15.5 m at frame
+        # 512), so first-revisit drift is ~25 m. The reference's 5 m
+        # radius gate (CTrackerSV.h:89) is calibrated to its closure-
+        # corrected steady state; here the gate widens to 50 m so the
+        # FIRST closure of a lap is reachable (after it, the pose graph
+        # pulls drift back down). Precision still holds: the ring world
+        # has no repeated texture, and BoW + match-floor + ICP gates
+        # remain in force.
+        closure_search_radius_m2=2500.0,
     )
 
     slam = SLAMSystem(seq.cam, params)

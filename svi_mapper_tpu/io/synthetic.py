@@ -72,6 +72,51 @@ _PLANES = [
 ]
 
 
+def ring_world(radius: float, half_width: float = 9.0,
+               n_segments: int = 16, wall_half_height: float = 4.0) -> tuple:
+    """Plane world for LARGE circular loops: an annular circuit.
+
+    The default corridor world (`_PLANES`) is sized for the small test
+    loops (walls at x = ±9, ground ±60 m): a reference-scale loop —
+    ``loop_trajectory`` with radius ~100 m, the KITTI-00-like operating
+    point of `bench.py --endurance` — leaves it entirely and the tracker
+    correctly starves (measured r5: 2,048-frame endurance collapsed at the
+    first-quartile boundary with black frames). This builds a world that
+    CONTAINS such a loop: a big ground plane plus inner/outer polygon
+    fence walls (n_segments planar segments each) bracketing the ring the
+    camera drives, so every viewpoint on the loop sees textured ground
+    ahead and depth-structured walls to both sides — the synthetic analog
+    of a city-block circuit.
+
+    ``loop_trajectory(n, radius)`` starts at the origin heading +z and
+    curves toward +x, so its circle is centered at (radius, 0, 0) — the
+    returned world is centered there too.
+    """
+    import math
+
+    cx = float(radius)
+    e_ground = radius + half_width + 30.0
+    planes = [
+        ((cx, 1.5, 0.0), (0.0, -1.0, 0.0),
+         (1.0, 0.0, 0.0), e_ground, (0.0, 0.0, 1.0), e_ground),
+    ]
+    fences = [radius + half_width]
+    if radius - half_width > 1.0:
+        fences.append(radius - half_width)
+    for r_f in fences:
+        e1 = r_f * math.tan(math.pi / n_segments) + 0.5   # overlap corners
+        for s in range(n_segments):
+            phi = 2.0 * math.pi * s / n_segments
+            c, sn = math.cos(phi), math.sin(phi)
+            planes.append((
+                (cx + r_f * c, 0.0, r_f * sn),
+                (-c, 0.0, -sn),                 # sign irrelevant: raycast
+                (-sn, 0.0, c), float(e1),       # has no backface culling
+                (0.0, 1.0, 0.0), float(wall_half_height),
+            ))
+    return tuple(planes)
+
+
 def _texture(p: jax.Array) -> jax.Array:
     """Procedural intensity at world points ``p`` [..., 3] -> [0, 255].
 
@@ -90,14 +135,19 @@ def _texture(p: jax.Array) -> jax.Array:
 def raycast(
     T_wc: jax.Array, fx: jax.Array, cx: jax.Array, cy: jax.Array,
     baseline_shift: jax.Array, width: int, height: int,
+    planes: tuple = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Intersect the per-pixel view rays with the plane world.
 
     Returns ``(o, dir_w, best_t)``: camera center in world [3], world-frame
     ray directions [H, W, 3], and ray parameter of the first hit [H, W]
     (``inf`` where no plane is hit). Shared by the clean renderer below and
-    the photometric stressor renderer (`io/stress.py`).
+    the photometric stressor renderer (`io/stress.py`). ``planes`` defaults
+    to the corridor world `_PLANES`; pass `ring_world(...)` for large-loop
+    sequences.
     """
+    if planes is None:
+        planes = _PLANES
     T_cw = se3.inv_T(T_wc)
     R_cw = T_cw[:3, :3]
     # camera center in world = T_cw @ [shift,0,0]
@@ -117,7 +167,7 @@ def raycast(
                        precision=jax.lax.Precision.HIGHEST)
 
     best_t = jnp.full((height, width), jnp.inf, jnp.float32)
-    for (p0, n, a1, e1, a2, e2) in _PLANES:
+    for (p0, n, a1, e1, a2, e2) in planes:
         p0 = jnp.asarray(p0, jnp.float32)
         n = jnp.asarray(n, jnp.float32)
         a1 = jnp.asarray(a1, jnp.float32)
@@ -133,11 +183,13 @@ def raycast(
     return o, dir_w, best_t
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "alias_period"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "alias_period", "planes"))
 def render_view(
     T_wc: jax.Array, fx: jax.Array, cx: jax.Array, cy: jax.Array,
     baseline_shift: jax.Array, width: int, height: int,
     alias_period: float = 0.0,
+    planes: tuple = None,
 ) -> jax.Array:
     """Render one camera view of the plane world.
 
@@ -148,7 +200,8 @@ def render_view(
     geographically distinct places that look identical, the perceptual-
     aliasing attack a loop-closure pipeline's precision gates must survive.
     """
-    o, dir_w, best_t = raycast(T_wc, fx, cx, cy, baseline_shift, width, height)
+    o, dir_w, best_t = raycast(T_wc, fx, cx, cy, baseline_shift, width, height,
+                               planes)
     hit_w = o[None, None, :] + best_t[..., None] * dir_w
     if alias_period > 0.0:
         hit_w = hit_w.at[..., 2].set(jnp.mod(hit_w[..., 2], alias_period))
@@ -157,15 +210,16 @@ def render_view(
 
 
 def render_stereo(cam: StereoCamera, T_wc: jax.Array,
-                  alias_period: float = 0.0) -> tuple[jax.Array, jax.Array]:
+                  alias_period: float = 0.0,
+                  planes: tuple = None) -> tuple[jax.Array, jax.Array]:
     """Render the (left, right) pair for a world->LEFT-camera pose."""
     fx = cam.left.fx
     imgL = render_view(T_wc, fx, cam.left.cx, cam.left.cy,
                        jnp.asarray(0.0, jnp.float32), cam.width, cam.height,
-                       alias_period)
+                       alias_period, planes)
     imgR = render_view(T_wc, fx, cam.right.cx, cam.right.cy,
                        cam.baseline.astype(jnp.float32), cam.width, cam.height,
-                       alias_period)
+                       alias_period, planes)
     return imgL, imgR
 
 
@@ -211,8 +265,12 @@ class SyntheticSequence:
     def __init__(self, n_frames: int = 40, width: int = 512, height: int = 256,
                  step: float = 0.8, yaw_amp: float = 0.003,
                  trajectory: str = "corridor", loop_radius: float = 5.0,
-                 alias_period: float = 0.0):
+                 alias_period: float = 0.0, world: tuple | None = None):
         self.cam = default_camera(width, height)
+        # None = the default corridor `_PLANES`; large loops must pass a
+        # world that contains them (ring_world) — the corridor's ground
+        # ends at |x| = 60 m and its walls at x = ±9 m
+        self.world = world
         if trajectory == "corridor":
             self.poses_wc = corridor_trajectory(n_frames, step, yaw_amp)
         elif trajectory == "loop":
@@ -225,7 +283,7 @@ class SyntheticSequence:
 
     def frame(self, i: int) -> tuple[jax.Array, jax.Array, np.ndarray]:
         T = jnp.asarray(self.poses_wc[i])
-        imgL, imgR = render_stereo(self.cam, T, self.alias_period)
+        imgL, imgR = render_stereo(self.cam, T, self.alias_period, self.world)
         return imgL, imgR, self.poses_wc[i]
 
     def __iter__(self):
