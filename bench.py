@@ -299,7 +299,10 @@ def bench_endurance(quick: bool) -> dict:
         closure_search_radius_m2=2500.0,
     )
 
-    slam = SLAMSystem(seq.cam, params)
+    # presize the closure DB to the expected ~680 keyframes: the 512->1024
+    # capacity growth otherwise recompiles every fused-query program
+    # mid-measurement (the biggest closure-path executables)
+    slam = SLAMSystem(seq.cam, params, max_keyframes=256 if quick else 1024)
     slam.world_shift_threshold_m = 150.0
     chunk = 64
     chunk_times: list[tuple[int, float]] = []
@@ -310,9 +313,23 @@ def bench_endurance(quick: bool) -> dict:
         R = jnp.stack([jnp.asarray(seq.frame(i)[1]) for i in range(s0, e0)])
         jax.block_until_ready((L, R))
         if warm:
-            # compile warmup outside the measurement (same shapes)
-            w = SLAMSystem(seq.cam, params)
-            w.process_many(L[:16], R[:16], chunk=16)
+            # compile warmup outside the measurement: a throwaway system
+            # runs the first THREE chunks so the steady-state programs —
+            # frame step, chunk-batched DB add + closure query at their
+            # bucket widths, windowed BA, early pose graph — compile (and
+            # land in the persistent cache) before the clock starts. The
+            # few late growth buckets (K=64 BA, N>=512 pose graph) still
+            # compile once each mid-run.
+            w = SLAMSystem(seq.cam, params,
+                           max_keyframes=256 if quick else 1024)
+            w.world_shift_threshold_m = 150.0
+            for w0 in range(0, min(3 * chunk, n_frames), chunk):
+                w1 = min(w0 + chunk, n_frames)
+                Lw = jnp.stack([jnp.asarray(seq.frame(i)[0])
+                                for i in range(w0, w1)])
+                Rw = jnp.stack([jnp.asarray(seq.frame(i)[1])
+                                for i in range(w0, w1)])
+                w.process_many(Lw, Rw, chunk=16)
             w.close()
             warm = False
         t0 = time.perf_counter()
@@ -362,7 +379,8 @@ def bench_endurance(quick: bool) -> dict:
         "endurance_pose_graph_last_n": int(tm.get("pose_graph_last_n", 0)),
         "endurance_kf_tail_ms_per_kf": {
             k[3:]: round(1e3 * tm.get(k, 0.0) / max(n_kf, 1), 2)
-            for k in ("kf_db_add", "kf_closure", "kf_backend", "kf_total")},
+            for k in ("kf_db_add", "kf_closure", "kf_backend", "kf_ba",
+                      "kf_pose_graph", "kf_total")},
         "endurance_finalize_s": round(finalize_s, 2),
         "endurance_ate_m": (round(float(ate), 3)
                             if np.isfinite(ate) else None),

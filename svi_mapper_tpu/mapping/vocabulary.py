@@ -285,6 +285,33 @@ class BowDatabase:
         self.n = i + 1
         return i
 
+    def add_many(self, descs: np.ndarray,
+                 valids: np.ndarray | None = None,
+                 count: int | None = None) -> int:
+        """Add keyframe pools ``[B, P, 8]`` in one batched dispatch
+        (see `_bow_add_many_jit`); returns the first assigned index.
+
+        ``count`` (default B) is how many leading rows are real — callers
+        pad B to a power-of-two bucket so the program compiles once per
+        bucket; pad rows (all-zero tf) write zero vectors into slots the
+        next add overwrites."""
+        B = int(np.shape(descs)[0])
+        n_real = B if count is None else count
+        if n_real == 0:
+            return self.n
+        while self.n + B > self.vectors.shape[0]:
+            self.vectors = jnp.concatenate(
+                [self.vectors, jnp.zeros_like(self.vectors)])
+        i0 = self.n
+        tfs = (np.ones(np.shape(descs)[:2], np.float32) if valids is None
+               else np.asarray(valids, np.float32))
+        self.vectors = _bow_add_many_jit(
+            self.vocab.centroids, self.vocab.child_valid, self.vocab.weights,
+            self.vectors, jnp.asarray(descs), jnp.asarray(tfs),
+            jnp.int32(i0), self.vocab.k)
+        self.n = i0 + n_real
+        return i0
+
     def query(self, desc: np.ndarray | jax.Array,
               valid: np.ndarray | jax.Array | None = None) -> np.ndarray:
         """Scores ``[n]`` of a query pool against every stored keyframe."""
@@ -299,3 +326,15 @@ class BowDatabase:
 def _bow_add_jit(centroids, child_valid, weights, vectors, desc, tf, i, k: int):
     v = _bow_vector_jit(centroids, child_valid, weights, desc, tf, k)
     return vectors.at[i].set(v)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _bow_add_many_jit(centroids, child_valid, weights, vectors, descs, tfs,
+                      i0, k: int):
+    """Vectors for B keyframe pools in ONE dispatch (vmapped descent +
+    one dynamic_update_slice) — the chunk-batched DB add companion."""
+    vs = jax.vmap(
+        lambda d, t: _bow_vector_jit(centroids, child_valid, weights,
+                                     d, t, k))(descs, tfs)
+    return jax.lax.dynamic_update_slice(vectors, vs,
+                                        (i0, jnp.zeros((), jnp.int32)))

@@ -149,6 +149,10 @@ class SLAMSystem(StereoTracker):
         # Cg2oOptimizer.cpp:232-522)
         self._last_opt_kf = 0
         self.incremental_ba_max_window = 64
+        # per-chunk-boundary host mirror of (table.uid, table.pos_w) for
+        # BA window assembly; None = read fresh from device (invalidated
+        # by the frame scan, rigid corrections and world shifts)
+        self._table_mirror: tuple | None = None
         # loop-closure waiting queue (ref CTrackerSV.cpp:418-451,
         # m_uLoopClosingKeyFramesInQueue / m_uLoopClosingKeyFrameWaitingQueue):
         # accepted closures BUFFER; ONE pose-graph + ONE incremental BA run
@@ -276,6 +280,7 @@ class SLAMSystem(StereoTracker):
     def _finish_chunk(self, stacked, snaps, n_frames: int) -> list:
         """Per-frame bookkeeping + keyframe dispatch for one completed scan
         chunk (shared by the stereo and SVI throughput drivers)."""
+        self._table_mirror = None    # the scan moved landmark positions
         outs: list = []
         kf_mask = stacked.is_keyframe
         T_all = stacked.T_wc
@@ -350,7 +355,12 @@ class SLAMSystem(StereoTracker):
                         uv_left=sn["uv_left"][j], disparity=sn["disparity"][j],
                         pos_w=pos_w.astype(np.float32), desc=sn["desc"][j],
                         instability=int(stacked.instability[i]),
-                        bit_prob=bitp_dev[j],
+                        # deferred path: the whole [B, L, 256] device plane
+                        # stack (keyframe j <-> stack row j) — the batched
+                        # DB add gathers pool rows in one dispatch; the
+                        # async-closure inline path slices its row
+                        bit_prob=(bitp_dev if self._closure_pool is None
+                                  else bitp_dev[j]),
                         motion_scaling=self._kf_motion_scaling(base + i),
                         _defer=deferred,
                     )
@@ -374,11 +384,28 @@ class SLAMSystem(StereoTracker):
             return
         import time as _time
 
+        # chunk-batched DB add: every deferred keyframe's pool in one
+        # fused write dispatch (+ one bit-probability gather keeping the
+        # [B, L, 256] plane stack on device) — the per-keyframe add paid
+        # ~8 device calls each (measured ~40 ms/keyframe at endurance
+        # keyframe density, VERDICT r5 endurance sag)
+        t_add0 = _time.perf_counter()
+        pools = [entry[3] for entry in deferred]
+        plane = deferred[0][4]
+        if plane is not None and not isinstance(plane, jax.Array):
+            plane = jnp.asarray(plane)
+        ks = self.db.add_many(pools, plane)
+        for (kf, *_rest), k in zip(deferred, ks):
+            assert k == kf.index, (k, kf.index)
+        tm = self.timings
+        tm["kf_db_add"] = tm.get("kf_db_add", 0.0) + (
+            _time.perf_counter() - t_add0)
+
         t0 = _time.perf_counter()
         if self.enable_loop_closure:
             p = self.params
             founds = closure_mod.find_closures_batch(
-                self.db, [kf.index for kf, _, _ in deferred],
+                self.db, [kf.index for kf, _, _m, _p, _b in deferred],
                 min_matches=p.closure_min_matches,
                 min_relative=p.closure_min_relative_matches,
                 hamming_cutoff=p.closure_hamming_cutoff,
@@ -396,7 +423,7 @@ class SLAMSystem(StereoTracker):
         else:
             founds = [[] for _ in deferred]
         t1 = _time.perf_counter()
-        for (kf, inst, ms), found in zip(deferred, founds):
+        for (kf, inst, ms, _pool, _bp), found in zip(deferred, founds):
             if self.enable_loop_closure:
                 self._apply_found_closures(found, kf.index)
             self._maybe_trigger_backend(inst, ms)
@@ -404,7 +431,6 @@ class SLAMSystem(StereoTracker):
             # keyframe pose
             self.trajectory[kf.frame_idx] = kf.T_wc
         t2 = _time.perf_counter()
-        tm = self.timings
         tm["kf_closure"] = tm.get("kf_closure", 0.0) + (t1 - t0)
         tm["kf_backend"] = tm.get("kf_backend", 0.0) + (t2 - t1)
         tm["kf_total"] = tm.get("kf_total", 0.0) + (t2 - t0)
@@ -662,6 +688,7 @@ class SLAMSystem(StereoTracker):
         import time as _time
 
         t_kf0 = _time.perf_counter()
+        self._table_mirror = None    # frames ran since any cached read
         # observations for BA: landmarks tracked THIS frame (failed == 0)
         obs_sel = active & tracked
         uv4 = np.concatenate(
@@ -683,27 +710,35 @@ class SLAMSystem(StereoTracker):
         pool_sel = active & optimal
         R, tt = T_wc[:3, :3], T_wc[:3, 3]
         p_cam = pos_w[pool_sel] @ R.T + tt
+        sel_idx = np.nonzero(pool_sel)[0]
+        if _defer is not None and self._closure_pool is None:
+            # chunk mode: DB add, closure search and back-end cadence run
+            # batched over the whole chunk's keyframes after all records
+            # exist (_process_deferred_keyframes) — one fused DB-add
+            # dispatch + one fused query dispatch instead of ~8 device
+            # calls per keyframe (measured ~40 ms/keyframe of dispatch at
+            # endurance keyframe density). ``bit_prob`` here is the
+            # chunk's whole [B, L, 256] device plane stack (row = the
+            # keyframe's position in the chunk's keyframe order).
+            _defer.append((kf, instability, motion_scaling,
+                           (desc[pool_sel], p_cam, T_wc, sel_idx), bit_prob))
+            tm = self.timings
+            tm["kf_total"] = tm.get("kf_total", 0.0) + (
+                _time.perf_counter() - t_kf0)
+            return
         t0 = _time.perf_counter()
         if bit_prob is None:
             prob_kw = {}
         elif isinstance(bit_prob, jax.Array):
             # device path: the [L, 256] probability plane never crosses to
             # host — the pool gather runs on device (db.add prob_device)
-            prob_kw = {"prob_device": (bit_prob, np.nonzero(pool_sel)[0])}
+            prob_kw = {"prob_device": (bit_prob, sel_idx)}
         else:
             prob_kw = {"prob": bit_prob[pool_sel]}
         self.db.add(desc[pool_sel], p_cam, T_wc, **prob_kw)
         t1 = _time.perf_counter()
         tm = self.timings
         tm["kf_db_add"] = tm.get("kf_db_add", 0.0) + (t1 - t0)
-        if _defer is not None and self._closure_pool is None:
-            # chunk mode: closure search + back-end cadence run batched
-            # over the whole chunk's keyframes after all records exist
-            # (_process_deferred_keyframes) — one fused query dispatch
-            # instead of one tunnel round trip per keyframe
-            _defer.append((kf, instability, motion_scaling))
-            tm["kf_total"] = tm.get("kf_total", 0.0) + (t1 - t_kf0)
-            return
         if self.enable_loop_closure:
             self._detect_closures(kf)
         t2 = _time.perf_counter()
@@ -891,17 +926,19 @@ class SLAMSystem(StereoTracker):
             window[0].accepted = True
             newly = [window[0]]
         else:
-            M = jnp.asarray(np.stack([c.T_qr for c in window]), jnp.float32)
-            T_i = jnp.asarray(
-                np.stack([self.slam_keyframes[c.ref_kf].T_wc for c in window]), jnp.float32)
-            T_j = jnp.asarray(
-                np.stack([self.slam_keyframes[c.query_kf].T_wc for c in window]), jnp.float32)
-            chi2 = closure_mod.consensus_matrix(M, T_i, T_j, jnp.ones(len(window), bool))
-            accept, _ = closure_mod.consensus_filter(
-                chi2, jnp.ones(len(window), bool),
-                threshold=self.params.closure_consensus_chi2,
-            )
-            for c, a in zip(window, np.asarray(accept)):
+            # host consensus (closure_mod.consensus_matrix_np): [C<=16]
+            # rigid algebra — the device version paid one ~30 ms
+            # dispatch+read per revisit keyframe on a remote accelerator
+            M = np.stack([c.T_qr for c in window])
+            T_i = np.stack(
+                [self.slam_keyframes[c.ref_kf].T_wc for c in window])
+            T_j = np.stack(
+                [self.slam_keyframes[c.query_kf].T_wc for c in window])
+            chi2 = closure_mod.consensus_matrix_np(M, T_i, T_j)
+            inlier = chi2 < self.params.closure_consensus_chi2
+            counts = inlier.sum(1)
+            accept = inlier[int(np.argmax(counts))]
+            for c, a in zip(window, accept):
                 if a:
                     c.accepted = True
                     newly.append(c)
@@ -965,8 +1002,18 @@ class SLAMSystem(StereoTracker):
         changed = {u: c for u, c in lut.items() if c != u}
         if not changed:
             return out
-        for u, c in changed.items():
-            out[uids == u] = c
+        # vectorized LUT apply: the per-uid boolean-mask loop was
+        # O(merged_uids x observations) and grew quadratic over a long
+        # multi-revisit run (r5 endurance: ~2.7k merged uids x ~4k-obs BA
+        # windows per assembly)
+        keys = np.fromiter(changed.keys(), np.int64, len(changed))
+        vals = np.fromiter(changed.values(), np.int64, len(changed))
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        pos = np.searchsorted(keys, uids)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = (keys[pos_c] == uids) & (uids >= 0)
+        out[hit] = vals[pos_c[hit]]
         return out
 
     def _merge_closure_landmarks(self, edge: ClosureEdge) -> int:
@@ -1047,8 +1094,13 @@ class SLAMSystem(StereoTracker):
         E0 = len(ei)
 
         # pad to shape buckets (masked-out slack)
-        N = self._bucket(N0, 4)
-        E = self._bucket(E0, 8)
+        # floor 64: the growing graph would otherwise walk every
+        # power-of-two bucket 4..1024 and compile a fresh [6N,6N] solver
+        # mid-run at each (endurance r5 profile: in-run compiles were the
+        # largest single cost); a 64-pose program covers the first ~3 min
+        # of any run and the masked slack is trivial device work
+        N = self._bucket(N0, 64)
+        E = self._bucket(E0, 128)
         T = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
         T[:N0] = T0.astype(np.float32)
         i_pad = np.zeros(E, np.int32); i_pad[:E0] = ei
@@ -1132,6 +1184,7 @@ class SLAMSystem(StereoTracker):
         (the batched analog of _backPropagateTrajectoryToFull +
         _applyOptimizationToLandmarks, Cg2oOptimizer.cpp:1468-1603)."""
         G = self._world_correction(T_old, T_new)        # p_w_new = G p_w_old
+        self._table_mirror = None                       # positions moved
         self._corr_P = G.astype(np.float64) @ self._corr_P
         self._corr_M = self._corr_M @ np.linalg.inv(G.astype(np.float64))
         Gj = jnp.asarray(G, jnp.float32)
@@ -1217,10 +1270,17 @@ class SLAMSystem(StereoTracker):
                 return None
             return uids, obs, mask, X0, np.full(Lpad, -1, np.int32)
 
-        # current landmark positions by uid lookup in the live table
-        # (one fused device->host read)
-        t = self.state.table
-        table_uids, table_pos = jax.device_get((t.uid, t.pos_w))
+        # current landmark positions by uid lookup in the live table.
+        # The (uid, pos_w) host mirror is cached per chunk boundary and
+        # invalidated by any rigid correction / world shift: a fresh
+        # device read per BA run cost one ~30 ms blocking round trip each
+        # (r5 endurance profile). Staleness within a boundary is only the
+        # previous BA's own refinement — an initializer one LM solve
+        # behind, which the solve re-derives.
+        if self._table_mirror is None:
+            t = self.state.table
+            self._table_mirror = jax.device_get((t.uid, t.pos_w))
+        table_uids, table_pos = self._table_mirror
         table_uids = table_uids.astype(np.int64)
         order = np.argsort(table_uids, kind="stable")
         pos = np.searchsorted(table_uids[order], uids)
@@ -1544,6 +1604,7 @@ class SLAMSystem(StereoTracker):
         synchronization point: the worker drains first so both threads
         cross the gauge change together."""
         self.flush_backend()
+        self._table_mirror = None                       # positions rebased
         super()._world_shift(c)
         Tc = self._translate4(c)
         for kf in self.slam_keyframes:

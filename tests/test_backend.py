@@ -400,6 +400,24 @@ def test_consensus_filters_bad_closures(rng):
     accept = np.asarray(accept)
     assert accept[0] and accept[1] and not accept[2]
     assert int(count) == 2
+    # host mirror (the production consensus path — zero device round
+    # trips): same chi^2 matrix to float32 tolerance, same decision
+    chi2_np = closure.consensus_matrix_np(M, T_est[idx_i], T_est[idx_j])
+    np.testing.assert_allclose(chi2_np, np.asarray(chi2), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_log_se3_np_matches_device(rng):
+    """Host float64 SE(3) log (consensus path) == geometry.se3.log_se3 on
+    random, small-angle and identity transforms."""
+    xs = rng.normal(0, 1.0, (64, 6)).astype(np.float32)
+    xs[:8] *= 1e-5                               # near-identity branch
+    xs[8] = 0.0                                  # exact identity
+    xs[9, 3:] = [np.pi - 1e-5, 0, 0]             # near-pi branch
+    T = np.asarray(se3.exp_se3(jnp.asarray(xs)))
+    got = closure._log_se3_np(T)
+    want = np.asarray(se3.log_se3(jnp.asarray(T)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
 def test_keyframe_db_grows_and_shortlists_by_default():
