@@ -69,6 +69,7 @@ def _rel(a, b):
             / max(np.abs(b).max(), 1e-9))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("K,L", [(8, 640), (16, 1030)])
 def test_schur_assemble_matches_xla_oracle(K, L):
     cam, intr, T, X, Xp, obs, mask = _problem(K=K, L=L)
@@ -90,6 +91,7 @@ def test_schur_assemble_matches_xla_oracle(K, L):
         assert err < tol[nm], f"{nm}: {err:.2e}"
 
 
+@pytest.mark.slow
 def test_schur_assemble_tiled_matches_xla_oracle():
     """The K-tiled variant (keyframe windows past the single-grid VMEM
     budget, K = 64 here) against the same XLA oracle."""
@@ -121,6 +123,7 @@ def test_schur_assemble_tiled_rejects_ragged_windows():
             interpret=True)
 
 
+@pytest.mark.slow
 def test_bundle_adjust_tiled_kernel_converges_like_xla():
     """bundle_adjust dispatches the tiled assembly for K = 64 and matches
     the XLA path's optimum."""
@@ -141,6 +144,7 @@ def test_bundle_adjust_tiled_kernel_converges_like_xla():
     assert c_x < 0.5 * float(res_x.chi2_initial)
 
 
+@pytest.mark.slow
 def test_bundle_adjust_kernel_path_converges_like_xla():
     cam, intr, T, X, Xp, obs, mask = _problem(K=8, L=640, noise=0.5)
     fix = np.zeros(8, bool); fix[0] = True

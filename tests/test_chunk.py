@@ -1,6 +1,7 @@
 """Chunked (lax.scan) throughput mode must be numerically identical to
 sequential per-frame processing."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -69,6 +70,7 @@ def test_chunk_matches_sequential_gt_mode():
     assert np.allclose(np.asarray(stacked.T_wc[-1]), np.asarray(T[-1]))
 
 
+@pytest.mark.slow
 def test_chunk_boundaries_preserve_cadence():
     """Splitting one chunk into two must not reset the landmark-opt cadence
     (frame_idx is carried, not restarted)."""
@@ -84,6 +86,7 @@ def test_chunk_boundaries_preserve_cadence():
     _assert_state_equal(s_a, s_b)
 
 
+@pytest.mark.slow
 def test_chunk_slam_runs_backend_on_loop():
     """Chunk mode must fold keyframe events through the FULL back-end
     (DB add, closure search, pose graph, BA) at chunk boundaries — the

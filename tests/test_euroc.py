@@ -160,6 +160,7 @@ def test_euroc_loader_end_to_end(tmp_path):
     assert np.allclose(calib.bias_gyro, [0.001, -0.002, 0.0005], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_euroc_svi_tracker_runs(tmp_path):
     """Drive StereoInertialTracker over the mini dataset (the tracker_svi
     main-loop shape, tracker_svi.cpp:216-261)."""

@@ -1,6 +1,7 @@
 """g2o-format graph snapshot export/import
 (ref keyframes_*-*.g2o persistence, Cg2oOptimizer.cpp:493-514)."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -48,6 +49,7 @@ def test_g2o_roundtrip(tmp_path):
         assert np.allclose(lm2[int(u)], lm[int(u) - 100], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_slam_writes_snapshots(tmp_path):
     from svi_mapper_tpu.config import DEFAULT_PARAMS
     from svi_mapper_tpu.io.synthetic import SyntheticSequence

@@ -19,6 +19,8 @@ from svi_mapper_tpu.eval import trajectory as ev
 from svi_mapper_tpu.io.synthetic import SyntheticSequence
 from svi_mapper_tpu.models.slam import SLAMSystem
 
+pytestmark = pytest.mark.slow  # whole-module e2e (fast-subset excluded)
+
 # circular-loop world overrides (see tests/test_slam.py PARAMS rationale)
 PARAMS = dataclasses.replace(DEFAULT_PARAMS, max_landmarks=512,
                              max_detections=512,

@@ -21,6 +21,7 @@ requires_8 = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 @requires_8
 def test_sharded_frame_step_matches_single_device():
     """The full frame step with the landmark axis sharded over 8 devices

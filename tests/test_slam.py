@@ -10,6 +10,8 @@ from svi_mapper_tpu.eval import trajectory as ev
 from svi_mapper_tpu.io.synthetic import SyntheticSequence
 from svi_mapper_tpu.models.slam import SLAMSystem
 
+pytestmark = pytest.mark.slow  # whole-module e2e (fast-subset excluded)
+
 # Synthetic-world overrides: the 12 m / 120-frame circular loop turns
 # continuously (~0.06 rad + 0.7 m per frame -> motion scaling ~2.0), so the
 # reference's KITTI-calibrated optimization veto (1.5, CTrackerSV.h:72 —

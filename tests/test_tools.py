@@ -2,6 +2,7 @@
 (ref runnables interpolate_trajectory.cpp, compute_rotation_icp.cpp,
 triangulation_sampling.cpp, create_cloud; fault hook CLandmark.cpp:648-710)."""
 
+import pytest
 import subprocess
 import sys
 
@@ -87,6 +88,7 @@ def test_perturb_pose_is_rigid():
     assert not np.allclose(out, T)
 
 
+@pytest.mark.slow
 def test_acceptance_cli_end_to_end(tmp_path):
     """The real-data acceptance harness (VERDICT r4 Next-8) runs a KITTI
     tree end-to-end and exits 0 when its gates pass / 1 when they fail."""
